@@ -1,0 +1,111 @@
+"""Backend: device/precision/solver policy object.
+
+The reference parameterizes every distributed object by an
+``HPCBackend{T,Ti,Device,Comm,Solver}`` (reference
+src/MultiGridBarrierMPI.jl:84-114, test/test_utils.jl:131) with CPU/CUDA/Metal
+devices, serial/MPI communicators and MUMPS/cuDSS direct solvers.  The
+TPU-native analogue collapses Device+Comm into a `jax.sharding.Mesh` (XLA
+GSPMD emits the collectives) and Solver into a linear-solver policy
+(dense Cholesky below a size threshold, multigrid-preconditioned CG above).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Name of the mesh axis over which the element/DOF dimension is sharded.
+# The reference's only distribution scheme is 1-D row-block data parallelism
+# over MPI ranks (SURVEY.md §2.5); 'dof' is its mesh-axis equivalent.
+DOF_AXIS = "dof"
+
+
+@dataclasses.dataclass(frozen=True)
+class Backend:
+    """Precision + device-mesh + linear-solver policy.
+
+    Attributes:
+      dtype: floating dtype for all geometry/solver arrays (f64 default —
+        the reference's tolerance contract is Float64 1e-10).
+      itype: integer dtype for ELL column indices (reference uses Int32 by
+        default for index arrays, src/MultiGridBarrierMPI.jl:233-234).
+      mesh: optional jax Mesh with a DOF_AXIS axis.  None = single device.
+      dense_threshold: Newton systems with <= this many unknowns are solved
+        with dense Cholesky (the MUMPS replacement for coarse levels);
+        larger systems use multigrid-preconditioned CG.
+    """
+
+    dtype: jnp.dtype = jnp.float64
+    itype: jnp.dtype = jnp.int32
+    mesh: Optional[jax.sharding.Mesh] = None
+    dense_threshold: int = 3072
+
+    @property
+    def n_devices(self) -> int:
+        return 1 if self.mesh is None else self.mesh.size
+
+    def replace(self, **kw) -> "Backend":
+        return dataclasses.replace(self, **kw)
+
+    def shard_rows(self, arr):
+        """Constrain the leading (element/row) axis of `arr` to the mesh.
+
+        Single-device backends return the array unchanged, so all solver code
+        is written once and runs identically on 1..N devices (the reference's
+        control-flow inversion, SURVEY.md §1)."""
+        if self.mesh is None:
+            return arr
+        spec = jax.sharding.PartitionSpec(DOF_AXIS, *([None] * (arr.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            arr, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    def replicate(self, arr):
+        if self.mesh is None:
+            return arr
+        spec = jax.sharding.PartitionSpec(*([None] * arr.ndim))
+        return jax.lax.with_sharding_constraint(
+            arr, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    def pad_multiple(self) -> int:
+        """Element counts are padded to a multiple of this so the sharded
+        axis divides evenly across devices (static shapes; no remainder
+        ranks, unlike the reference's uneven row partitions)."""
+        return max(1, self.n_devices)
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> jax.sharding.Mesh:
+    """Create a 1-D ('dof',) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.sharding.Mesh(np.asarray(devices), (DOF_AXIS,))
+
+
+def backend_cpu(dtype=jnp.float64, itype=jnp.int32) -> Backend:
+    """Single-device backend (reference: backend_cpu_serial, src:95)."""
+    return Backend(dtype=dtype, itype=itype, mesh=None)
+
+
+def backend_tpu(
+    dtype=jnp.float64,
+    itype=jnp.int32,
+    n_devices: Optional[int] = None,
+) -> Backend:
+    """Meshed backend over all (or the first `n_devices`) local devices
+    (reference: backend_cpu_mpi / backend_cuda_mpi, src:92-110)."""
+    mesh = make_mesh(n_devices)
+    if mesh.size == 1:
+        return Backend(dtype=dtype, itype=itype, mesh=None)
+    return Backend(dtype=dtype, itype=itype, mesh=mesh)
+
+
+def backend_auto(dtype=jnp.float64) -> Backend:
+    """Pick a mesh over all local devices when more than one is present."""
+    return backend_tpu(dtype=dtype) if len(jax.devices()) > 1 else backend_cpu(dtype=dtype)

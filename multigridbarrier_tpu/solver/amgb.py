@@ -1,0 +1,628 @@
+"""amgb — the multigrid interior-point (barrier) solver.
+
+Solves the convex variational problem
+
+    min_z  sum_i w_i * c(x_i) . (Dz)_i      (linear cost in Dz)
+    s.t.   (Dz)_i in Q  for every quadrature point i   (pointwise convex)
+           z - z_g in the conforming (Dirichlet) subspace
+
+by a two-phase interior-point method with multigrid acceleration, matching
+the behavioral contract of MultiGridBarrier.amgb reconstructed from the
+reference (call stack: SURVEY.md §3.1; log contract:
+/root/reference/docs/src/api.md:89-103):
+
+* Phase 1 ("feasibility", SOL_feasibility): an augmented problem with one
+  extra slack field e minimizing sum w*e under the relaxed constraint
+  until the true constraint is strictly satisfied; skipped (0 iterations)
+  when the initial iterate is already strictly feasible.
+* Phase 2 ("main", SOL_main): path-following t <- kappa*t; at each t a
+  coarse-to-fine sweep of damped Newton iterations over the subspace
+  hierarchy (`its` counts per level, reference log field `its`).
+
+TPU-native design notes:
+- The iterate z lives in the *broken* quadrature-point space (n, nfields);
+  level-l Newton corrections are R_l @ dv, so level transitions are free
+  and no inter-level re-basing is needed.
+- F1/F2 of the barrier are jax.grad / jax.hessian, vmapped over rows —
+  replacing the reference's map_rows F1/F2 pipeline
+  (tools/profile_barrier.jl:44-151) with fused XLA code.
+- The Newton system R' (D' diag(w.*F2) D) R of the reference
+  (test/test_map_rows_compare.jl:102-139) is assembled densely per level as
+  one MXU contraction for m <= dense_threshold, and solved matrix-free with
+  multigrid-preconditioned CG above (the MUMPS replacement, SURVEY.md §2.4).
+- One jitted Newton step per level; static shapes: nothing recompiles or
+  re-plans inside the Newton loop (designing out the reference's per-step
+  re-hash/re-plan overhead, tools/profile_hash.jl:63-66).
+- The reference's `amgb_all_isfinite` Allreduce line-search safety check
+  (src/MultiGridBarrierMPI.jl:119-133) is an isfinite() on the jitted
+  objective: the barrier evaluates to NaN outside the domain and the
+  backtracking loop rejects the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.geometry import Geometry
+from ..runtime import Ell
+from .convex import Convex, convex_Euclidian_power
+
+# ----------------------------------------------------------------------------
+# Problem specification
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DSpec:
+    """Static operator-selection table: row j of Dz is operators[op_j]
+    applied to field f_j (the reference's D matrix, e.g.
+    [:u :id; :u :dx; :u :dy; :s :id], src/MultiGridBarrierMPI.jl:736)."""
+
+    entries: Tuple[Tuple[int, str], ...]  # (field_index, op_name) per row
+    fieldnames: Tuple[str, ...]
+
+    @property
+    def k(self) -> int:
+        return len(self.entries)
+
+    @property
+    def nfields(self) -> int:
+        return len(self.fieldnames)
+
+
+def _normalize_D(D) -> DSpec:
+    fieldnames: list = []
+    entries = []
+    for row in D:
+        fname, opname = str(row[0]).lstrip(":"), str(row[1]).lstrip(":")
+        if fname not in fieldnames:
+            fieldnames.append(fname)
+        entries.append((fieldnames.index(fname), opname))
+    return DSpec(entries=tuple(entries), fieldnames=tuple(fieldnames))
+
+
+def default_D(dim: int):
+    grads = ["dx", "dy", "dz"][:dim]
+    return [("u", "id")] + [("u", g) for g in grads] + [("s", "id")]
+
+
+def default_f(dim: int, dtype):
+    vec = np.array([0.5] + [0.0] * dim + [1.0])
+
+    def f(x):
+        return jnp.asarray(vec, dtype=dtype)
+
+    return f
+
+
+def default_g(dim: int, dtype):
+    def g(x):
+        xs = x[:dim]
+        return jnp.stack([jnp.sum(xs * xs), jnp.asarray(100.0, dtype=dtype)])
+
+    return g
+
+
+def default_Q(dim: int, p) -> Convex:
+    # cone over (grad u, s): ||grad u||^p <= s ; rows 1..dim are the
+    # gradient components, row dim+1 is s (see default_D).
+    return convex_Euclidian_power(idx=tuple(range(1, dim + 2)), p=p)
+
+
+# ----------------------------------------------------------------------------
+# Solution containers (field names match the reference,
+# docs/src/api.md:89-103)
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PhaseLog:
+    t_elapsed: float
+    ts: list
+    its: np.ndarray  # (levels,) Newton iterations per level
+    c_dot_Dz: list
+    t_begin: float
+    t_end: float
+    converged: bool
+
+
+@dataclasses.dataclass
+class AMGBSOL:
+    z: jnp.ndarray  # (n, nfields) solution in the broken space
+    SOL_feasibility: Optional[PhaseLog]
+    SOL_main: PhaseLog
+    log: list
+    geometry: Geometry
+
+
+class AMGBConvergenceFailure(RuntimeError):
+    pass
+
+
+# ----------------------------------------------------------------------------
+# Solver context: per-level jitted Newton kernels
+# ----------------------------------------------------------------------------
+
+
+def _apply_D(ops, spec: DSpec, z):
+    cols = [ops[op].matvec(z[:, f]) for (f, op) in spec.entries]
+    return jnp.stack(cols, axis=1)
+
+
+def _apply_Dt(ops, spec: DSpec, gy, nfields):
+    out = [None] * nfields
+    for j, (f, op) in enumerate(spec.entries):
+        contrib = ops[op].rmatvec(gy[:, j])
+        out[f] = contrib if out[f] is None else out[f] + contrib
+    zero = jnp.zeros(gy.shape[0], dtype=gy.dtype)
+    return jnp.stack([o if o is not None else zero for o in out], axis=1)
+
+
+class _SolverCtx:
+    """Holds per-level jitted Newton step functions for one (geometry,
+    problem) pair."""
+
+    def __init__(
+        self,
+        geometry: Geometry,
+        spec: DSpec,
+        barrier: Callable,
+        c: jnp.ndarray,
+        subspace: str = "dirichlet",
+        armijo: float = 0.25,
+        max_backtrack: int = 60,
+        linear_solver: Optional[Callable] = None,
+        x=None,
+    ):
+        self.geometry = geometry
+        self.spec = spec
+        self.barrier = barrier
+        self.c = c
+        self.subspace = subspace
+        self.armijo = armijo
+        self.max_backtrack = max_backtrack
+        self.linear_solver = linear_solver
+
+        g = geometry
+        self.levels = len(g.subspaces[subspace])
+        self.x = g.x if x is None else x  # may carry extra aux columns
+        self.w = g.w
+        self.ops = g.operators
+
+        # Dense per-level operator-on-subspace A_j = D_j @ R  (k, n, m);
+        # independent of z, built once (the reference rebuilds the
+        # equivalent SpGEMM chain every Newton step, SURVEY.md §3.1).
+        self._level_A = []
+        self._level_R = []
+        for lvl in range(self.levels):
+            R = g.subspaces[subspace][lvl]
+            Rd = R.todense()
+            A = jnp.stack([self.ops[op].matvec(Rd) for (_, op) in spec.entries])
+            self._level_A.append(A)
+            self._level_R.append(R)
+
+        self._step = self._build_step()
+        self._eval = self._build_eval()
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _build_eval(self):
+        spec, barrier = self.spec, self.barrier
+
+        def evaluate(x, w, c, z, t):
+            y = _apply_D(self.ops, spec, z)
+            F0v = jax.vmap(barrier)(x, y)
+            cy = jnp.sum(w * jnp.sum(c * y, axis=1))
+            fy = jnp.sum(w * F0v)
+            return t * cy + fy, cy
+
+        return jax.jit(evaluate)
+
+    def _build_step(self):
+        spec, barrier = self.spec, self.barrier
+        nf, k = spec.nfields, spec.k
+        armijo, max_bt = self.armijo, self.max_backtrack
+        F1 = jax.grad(barrier, argnums=1)
+        F2 = jax.hessian(barrier, argnums=1)
+        custom_solve = self.linear_solver
+
+        def step(A, R_cols, R_vals, x, w, c, z, t):
+            # A: (k, n, m) dense; R in ELL pieces (cols/vals) for rmatvec.
+            m = A.shape[2]
+            y = _apply_D(self.ops, spec, z)
+            F0v = jax.vmap(barrier)(x, y)
+            cy = jnp.sum(w * jnp.sum(c * y, axis=1))
+            fy = jnp.sum(w * F0v)
+            phi0 = t * cy + fy
+
+            # gradient in subspace coordinates, field-major (nf*m,)
+            F1v = jax.vmap(F1)(x, y)  # (n, k)
+            gy = w[:, None] * (t * c + F1v)  # (n, k)
+            gz = _apply_Dt(self.ops, spec, gy, nf)  # (n, nf)
+            R = Ell(cols=R_cols, vals=R_vals, shape=(A.shape[1], m))
+            gv = R.rmatvec(gz).T.reshape(-1)  # (nf*m,)
+
+            # Hessian: H[(fa,a),(fb,b)] = sum_{j,l} [f_j=fa][f_l=fb]
+            #   sum_n w_n Y2[n,j,l] A[j,n,a] A[l,n,b]
+            Y2 = jax.vmap(F2)(x, y) * w[:, None, None]  # (n, k, k)
+            H = jnp.zeros((nf * m, nf * m), dtype=z.dtype)
+            for j in range(k):
+                fj = spec.entries[j][0]
+                for l in range(j, k):
+                    fl = spec.entries[l][0]
+                    blk = (A[j] * Y2[:, j, l, None]).T @ A[l]
+                    H = H.at[fj * m : (fj + 1) * m, fl * m : (fl + 1) * m].add(blk)
+                    if l != j:
+                        H = H.at[
+                            fl * m : (fl + 1) * m, fj * m : (fj + 1) * m
+                        ].add(blk.T)
+
+            if custom_solve is None:
+                # Cholesky, not LU: XLA:TPU has no f64 LuDecomposition, and
+                # the Newton matrix is SPD by construction (the reference
+                # solves it with MUMPS' symmetric factorization, SURVEY §3.5).
+                cf = jax.scipy.linalg.cho_factor(H)
+                delta = -jax.scipy.linalg.cho_solve(cf, gv)
+            else:
+                delta = custom_solve(H, -gv)
+            lam2 = -jnp.dot(gv, delta)
+
+            # direction in Dz-space: dY[:, j] = A[j] @ delta_{field f_j}
+            dv = delta.reshape(nf, m)
+            dY = jnp.stack(
+                [A[j] @ dv[spec.entries[j][0]] for j in range(k)], axis=1
+            )
+            c_dY = jnp.sum(w * jnp.sum(c * dY, axis=1))
+
+            lam = jnp.sqrt(jnp.maximum(lam2, 0.0))
+            alpha0 = jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
+
+            def phi_of(alpha):
+                ya = y + alpha * dY
+                return t * (cy + alpha * c_dY) + jnp.sum(
+                    w * jax.vmap(barrier)(x, ya)
+                )
+
+            def cond(state):
+                alpha, phia, it = state
+                ok = jnp.isfinite(phia) & (phia <= phi0 - armijo * alpha * lam2)
+                return (~ok) & (it < max_bt)
+
+            def body(state):
+                alpha, _, it = state
+                alpha = alpha * 0.5
+                return alpha, phi_of(alpha), it + 1
+
+            alpha, phia, bt = jax.lax.while_loop(
+                cond, body, (alpha0, phi_of(alpha0), 0)
+            )
+            ok = jnp.isfinite(phia) & (phia <= phi0 - armijo * alpha * lam2)
+            alpha = jnp.where(ok, alpha, 0.0)
+
+            # z update: per field z[:, f] += alpha * R @ dv[f]
+            dz = R.matvec(dv.T)  # (n, nf)
+            z_new = z + alpha * dz
+            return z_new, lam2, alpha, phi0, cy
+
+        return jax.jit(step)
+
+    # -- public -------------------------------------------------------------
+
+    def step(self, level: int, z, t):
+        A = self._level_A[level]
+        R = self._level_R[level]
+        return self._step(
+            A, R.cols, R.vals, self.x, self.w, self.c, z, jnp.asarray(t, dtype=z.dtype)
+        )
+
+    def evaluate(self, z, t):
+        return self._eval(self.x, self.w, self.c, z, jnp.asarray(t, dtype=z.dtype))
+
+
+# ----------------------------------------------------------------------------
+# Path following
+# ----------------------------------------------------------------------------
+
+
+def _path_follow(
+    ctx: _SolverCtx,
+    z,
+    t0: float,
+    t_end: float,
+    kappa: float,
+    maxit: int,
+    theta: float,
+    final_lam2: float,
+    early_stop: Optional[Callable] = None,
+    newton_cap: int = 50,
+    verbose: bool = False,
+    logfile=None,
+    phase: str = "main",
+):
+    L = ctx.levels
+    its = np.zeros(L, dtype=np.int64)
+    ts, c_dots, log = [], [], []
+    total = 0
+    t_start = time.perf_counter()
+    t = float(t0)
+    user_kappa = float(kappa)
+    kap = user_kappa
+
+    def emit(msg):
+        if verbose:
+            print(msg)
+        if logfile is not None:
+            print(msg, file=logfile)
+
+    converged = True
+    while True:
+        ts.append(t)
+        z_backup = z
+        its_backup = its.copy()
+        ok = True
+        for lvl in range(L):
+            lam2 = np.inf
+            for _ in range(newton_cap):
+                z, lam2, alpha, phi, cy = ctx.step(lvl, z, t)
+                its[lvl] += 1
+                total += 1
+                log.append(
+                    dict(
+                        phase=phase,
+                        t=t,
+                        level=lvl,
+                        lam2=float(lam2),
+                        alpha=float(alpha),
+                        phi=float(phi),
+                    )
+                )
+                if total > maxit:
+                    raise AMGBConvergenceFailure(
+                        f"amgb: exceeded maxit={maxit} Newton iterations"
+                    )
+                if not np.isfinite(float(lam2)):
+                    ok = False
+                    break
+                if float(lam2) <= theta ** 2:
+                    break
+            else:
+                # newton_cap hit without reaching theta: treat as t-step
+                # failure and shrink the barrier step.
+                ok = False
+            if not ok:
+                break
+
+        if not ok:
+            # adaptive barrier stepping: halve the step in log space
+            # (reference `kappa` semantics, docs/src/guide.md:148-152).
+            z = z_backup
+            its = its_backup
+            ts.pop()
+            t_prev = ts[-1] if ts else t0
+            if kap <= 1.0 + 1e-9 or t <= t_prev * (1 + 1e-12):
+                raise AMGBConvergenceFailure(
+                    f"amgb: Newton failed to converge at t={t} "
+                    f"(phase={phase}) with minimal step"
+                )
+            kap = math.sqrt(kap)
+            t = min(t_prev * kap, t_end)
+            emit(f"[amgb:{phase}] step rejected; kappa -> {kap:.3f}, retry t={t:.3e}")
+            continue
+
+        _, cy = ctx.evaluate(z, t)
+        c_dots.append(float(cy))
+        emit(
+            f"[amgb:{phase}] t={t:.4e} its={its.tolist()} c_dot_Dz={float(cy):.10e}"
+        )
+
+        if early_stop is not None and early_stop(z):
+            break
+        if t >= t_end * (1 - 1e-12):
+            break
+        kap = min(user_kappa, kap * kap) if kap < user_kappa else user_kappa
+        t = min(t * kap, t_end)
+
+    # Final polish at the finest level: fully center at t_end so that
+    # independent runs (1 vs N devices) agree to Newton tolerance
+    # (the reference's 1e-10 MPI-vs-native invariant, test/test_quick.jl:137).
+    if early_stop is None:
+        prev = np.inf
+        for _ in range(newton_cap):
+            z, lam2, alpha, phi, cy = ctx.step(L - 1, z, t)
+            its[L - 1] += 1
+            lam2f = float(lam2)
+            if not np.isfinite(lam2f):
+                break
+            if lam2f <= final_lam2 or lam2f >= prev * 0.9:
+                break
+            prev = lam2f
+
+    t_elapsed = time.perf_counter() - t_start
+    return z, PhaseLog(
+        t_elapsed=t_elapsed,
+        ts=ts,
+        its=its,
+        c_dot_Dz=c_dots,
+        t_begin=float(t0),
+        t_end=float(t),
+        converged=converged,
+    ), log
+
+
+# ----------------------------------------------------------------------------
+# amgb entry point
+# ----------------------------------------------------------------------------
+
+
+def amgb(
+    geometry: Geometry,
+    *,
+    D=None,
+    f: Optional[Callable] = None,
+    g: Optional[Callable] = None,
+    Q: Optional[Convex] = None,
+    p=1.0,
+    t: float = 0.1,
+    tol: Optional[float] = None,
+    kappa: float = 10.0,
+    maxit: int = 10000,
+    verbose: bool = False,
+    logfile=None,
+    subspace: str = "dirichlet",
+    linear_solver: Optional[Callable] = None,
+    newton_cap: int = 50,
+    aux=None,
+    z0=None,
+    **_ignored,
+):
+    """Solve the barrier problem on `geometry`.
+
+    Mirrors the reference signature amgb(geometry; p, tol, maxit, verbose,
+    logfile, D, f, g) (docs/src/guide.md:148-152); like the reference entry
+    points, unknown keyword arguments are tolerated and ignored
+    (src/MultiGridBarrierMPI.jl:594-600 splats the same kwargs into both the
+    geometry builder and amgb).
+    """
+    dim = geometry.dim
+    dtype = geometry.x.dtype
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(dtype).eps))
+
+    spec = _normalize_D(D if D is not None else default_D(dim))
+    ffun = f if f is not None else default_f(dim, dtype)
+    gfun = g if g is not None else default_g(dim, dtype)
+    Qset = Q if Q is not None else default_Q(dim, p)
+
+    x, w = geometry.x, geometry.w
+    if aux is not None:
+        # Extra per-row data columns (e.g. the previous time snapshot in the
+        # parabolic driver); appended to x for all pointwise callables, so
+        # barrier/f/g receive rows of [coords, aux].
+        x = jnp.concatenate([x, jnp.asarray(aux, dtype=dtype)], axis=1)
+    c = jax.vmap(lambda xi: jnp.asarray(ffun(xi), dtype=dtype))(x)
+    if z0 is None:
+        z0 = jax.vmap(lambda xi: jnp.asarray(gfun(xi), dtype=dtype))(x)
+    else:
+        z0 = jnp.asarray(z0, dtype=dtype)
+    if c.shape[1] != spec.k:
+        raise ValueError(f"f(x) must return {spec.k} components, got {c.shape[1]}")
+    if z0.shape[1] != spec.nfields:
+        raise ValueError(
+            f"g(x) must return {spec.nfields} components, got {z0.shape[1]}"
+        )
+
+    t_end = 1.0 / tol
+    log = []
+
+    # ---- Phase 1: feasibility --------------------------------------------
+    ops = geometry.operators
+    y0 = _apply_D(ops, spec, z0)
+    slack0 = jax.vmap(Qset.slack)(x, y0)
+    barrier0 = jnp.sum(w * jax.vmap(Qset.barrier)(x, y0))
+    feasible = bool(jnp.all(slack0 < 0.0)) and bool(jnp.isfinite(barrier0))
+
+    if feasible:
+        z = z0
+        SOL_feasibility = PhaseLog(
+            t_elapsed=0.0,
+            ts=[],
+            its=np.zeros(geometry.levels, dtype=np.int64),
+            c_dot_Dz=[],
+            t_begin=t,
+            t_end=t,
+            converged=True,
+        )
+    else:
+        # Augmented problem: extra field e, D row ('_e','id'),
+        # objective sum w*e, barrier = cobarrier.
+        spec_aug = DSpec(
+            entries=spec.entries + ((spec.nfields, "id"),),
+            fieldnames=spec.fieldnames + ("_feas_slack",),
+        )
+        c_aug = jnp.concatenate(
+            [jnp.zeros_like(c), jnp.ones((c.shape[0], 1), dtype=dtype)], axis=1
+        )
+        e0 = jax.vmap(Qset.slack)(x, y0)
+        # lift uniformly so e is comfortably interior pointwise
+        z0_aug = jnp.concatenate([z0, e0[:, None]], axis=1)
+
+        def co_barrier(xi, ya):
+            return Qset.cobarrier(xi, ya[: spec.k], ya[spec.k])
+
+        ctx1 = _SolverCtx(
+            geometry,
+            spec_aug,
+            co_barrier,
+            c_aug,
+            subspace=subspace,
+            linear_solver=linear_solver,
+            x=x,
+        )
+
+        def feasible_now(z_aug):
+            y = _apply_D(ops, spec, z_aug[:, : spec.nfields])
+            sl = jax.vmap(Qset.slack)(x, y)
+            fin = jnp.isfinite(jnp.sum(jax.vmap(Qset.barrier)(x, y)))
+            return bool(jnp.max(sl) < -1e-8) and bool(fin)
+
+        z_aug, SOL_feasibility, log1 = _path_follow(
+            ctx1,
+            z0_aug,
+            t,
+            t_end,
+            kappa,
+            maxit,
+            theta=0.25,
+            final_lam2=tol,
+            early_stop=feasible_now,
+            newton_cap=newton_cap,
+            verbose=verbose,
+            logfile=logfile,
+            phase="feasibility",
+        )
+        log.extend(log1)
+        if not feasible_now(z_aug):
+            raise AMGBConvergenceFailure("amgb: feasibility phase failed")
+        z = z_aug[:, : spec.nfields]
+
+    # ---- Phase 2: main ------------------------------------------------------
+    ctx2 = _SolverCtx(
+        geometry,
+        spec,
+        Qset.barrier,
+        c,
+        subspace=subspace,
+        linear_solver=linear_solver,
+        x=x,
+    )
+    z, SOL_main, log2 = _path_follow(
+        ctx2,
+        z,
+        t,
+        t_end,
+        kappa,
+        maxit,
+        theta=0.25,
+        final_lam2=tol ** 2 * 100.0,
+        newton_cap=newton_cap,
+        verbose=verbose,
+        logfile=logfile,
+        phase="main",
+    )
+    log.extend(log2)
+
+    return AMGBSOL(
+        z=z,
+        SOL_feasibility=SOL_feasibility,
+        SOL_main=SOL_main,
+        log=log,
+        geometry=geometry,
+    )
