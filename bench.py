@@ -1,0 +1,81 @@
+"""Headline benchmark: fem2d p-Laplace (p=1) barrier solve.
+
+Reference baseline (BASELINE.md, /root/reference/docs/src/guide.md:252):
+fem2d L=7 (n = 57,344 broken dofs), Float64 — native 96.694 s / MPI+MUMPS
+118.070 s on an M4 MacBook Pro (1 rank, 10 BLAS threads).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value is the solve wall-time in seconds (after a warm-up solve that pays
+all jit compilation — mirroring BenchmarkTools medians which exclude Julia
+compilation) and vs_baseline = reference_native_seconds / our_seconds
+(>1 means faster than the reference).
+
+Env overrides: MGB_BENCH_L (default 7), MGB_BENCH_DTYPE (f64|f32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_NATIVE_S = {1: 0.018, 2: 0.028, 3: 0.074, 4: 0.480, 5: 2.508, 6: 26.384, 7: 96.694, 8: 659.276}
+
+
+def main():
+    L = int(os.environ.get("MGB_BENCH_L", "7"))
+    dtype_name = os.environ.get("MGB_BENCH_DTYPE", "f64")
+
+    import jax
+    import jax.numpy as jnp
+    import multigridbarrier_tpu as mgb
+
+    dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    backend = mgb.backend_cpu(dtype=dtype)
+
+    t0 = time.perf_counter()
+    g = mgb.fem2d(L=L, backend=backend)
+    t_geom = time.perf_counter() - t0
+    print(f"# geometry L={L} n={g.n} built in {t_geom:.1f}s", file=sys.stderr)
+
+    def solve():
+        # default tol = sqrt(eps(T)) — the reference amgb default used by
+        # its published benchmark runs (tools/benchmark_fem2d.jl)
+        sol = mgb.amgb(g, p=1.0, tol=None if dtype_name == "f64" else 1e-4)
+        jax.block_until_ready(sol.z)
+        return sol
+
+    # warm-up: pays jit compilation for every level/phase
+    t0 = time.perf_counter()
+    sol = solve()
+    warm = time.perf_counter() - t0
+    print(
+        f"# warmup {warm:.1f}s its={sol.SOL_main.its.tolist()}", file=sys.stderr
+    )
+
+    t0 = time.perf_counter()
+    sol = solve()
+    elapsed = time.perf_counter() - t0
+
+    base = BASELINE_NATIVE_S.get(L)
+    dofs_per_sec = g.n / elapsed
+    print(
+        f"# timed {elapsed:.3f}s  DOFs/s/chip {dofs_per_sec:.3e}  "
+        f"iters {int(sol.SOL_main.its.sum())}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"fem2d L={L} p=1 barrier solve wall-time ({dtype_name})",
+                "value": round(elapsed, 4),
+                "unit": "s",
+                "vs_baseline": round(base / elapsed, 3) if base else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,24 +51,28 @@ class Backend:
     def replace(self, **kw) -> "Backend":
         return dataclasses.replace(self, **kw)
 
+    def row_sharding(self, ndim: int):
+        spec = jax.sharding.PartitionSpec(DOF_AXIS, *([None] * (ndim - 1)))
+        return jax.sharding.NamedSharding(self.mesh, spec)
+
     def shard_rows(self, arr):
-        """Constrain the leading (element/row) axis of `arr` to the mesh.
+        """Place/constrain the leading (element/row) axis of `arr` on the
+        mesh (jax.device_put works both outside and under jit).
 
         Single-device backends return the array unchanged, so all solver code
         is written once and runs identically on 1..N devices (the reference's
         control-flow inversion, SURVEY.md §1)."""
         if self.mesh is None:
             return arr
-        spec = jax.sharding.PartitionSpec(DOF_AXIS, *([None] * (arr.ndim - 1)))
-        return jax.lax.with_sharding_constraint(
-            arr, jax.sharding.NamedSharding(self.mesh, spec)
-        )
+        if arr.shape[0] % self.mesh.size:
+            return self.replicate(arr)  # indivisible: keep replicated
+        return jax.device_put(arr, self.row_sharding(arr.ndim))
 
     def replicate(self, arr):
         if self.mesh is None:
             return arr
         spec = jax.sharding.PartitionSpec(*([None] * arr.ndim))
-        return jax.lax.with_sharding_constraint(
+        return jax.device_put(
             arr, jax.sharding.NamedSharding(self.mesh, spec)
         )
 

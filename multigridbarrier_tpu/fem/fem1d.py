@@ -13,7 +13,7 @@ import scipy.sparse as sp
 import jax.numpy as jnp
 
 from ..backend import Backend, backend_cpu
-from ..runtime import BlockDiagOp, Ell, ell_from_scipy
+from ..runtime import BlockDiagOp, Ell, ell_from_scipy, level_basis_from_csr
 from .geometry import Discretization, Geometry
 
 _GAUSS = np.array([-1.0, 1.0]) / np.sqrt(3.0)  # 2-pt Gauss on [-1, 1]
@@ -132,5 +132,15 @@ def fem1d(L: int = 4, backend: Backend | None = None) -> Geometry:
             "dirichlet": tuple(to_ell(E) for E in emb_dir),
         },
         backend=backend,
+        bases={
+            "full": tuple(
+                level_basis_from_csr(R, 2, dtype=np.dtype(backend.dtype))
+                for R in sub_full
+            ),
+            "dirichlet": tuple(
+                level_basis_from_csr(R, 2, dtype=np.dtype(backend.dtype))
+                for R in sub_dir
+            ),
+        },
     )
     return geometry

@@ -24,7 +24,7 @@ import scipy.sparse as sp
 import jax.numpy as jnp
 
 from ..backend import Backend, backend_cpu
-from ..runtime import BlockDiagOp, ell_from_scipy
+from ..runtime import BlockDiagOp, ell_from_scipy, level_basis_from_csr
 from .geometry import Discretization, Geometry
 
 # Reference-element (unit triangle (0,0),(1,0),(0,1)) node table:
@@ -215,7 +215,9 @@ def fem2d(L: int = 2, K=None, backend: Backend | None = None) -> Geometry:
     J = np.stack([tv[:, 1] - v0, tv[:, 2] - v0], axis=2)  # (nt, 2, 2)
     detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
     xq = v0[:, None, :] + np.einsum("eij,qj->eqi", J, _REF_NODES)  # (nt,7,2)
-    wq = np.abs(detJ)[:, None] * (2.0 * _REF_W)[None, :]  # ref area 1/2 scaled
+    # |detJ| * ref-weights: _REF_W already carries the reference area 1/2,
+    # so sum(w) = total mesh area.
+    wq = np.abs(detJ)[:, None] * _REF_W[None, :]
     x = xq.reshape(n, 2)
     w = wq.reshape(n)
 
@@ -362,4 +364,14 @@ def fem2d(L: int = 2, K=None, backend: Backend | None = None) -> Geometry:
             "dirichlet": tuple(to_ell(E) for E in emb_dir),
         },
         backend=backend,
+        bases={
+            "full": tuple(
+                level_basis_from_csr(R, _NQ, dtype=np.dtype(backend.dtype))
+                for R in sub_full
+            ),
+            "dirichlet": tuple(
+                level_basis_from_csr(R, _NQ, dtype=np.dtype(backend.dtype))
+                for R in sub_dir
+            ),
+        },
     )

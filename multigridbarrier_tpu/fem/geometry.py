@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..backend import Backend, backend_cpu
-from ..runtime import BlockDiagOp, Ell
+from ..runtime import BlockDiagOp, Ell, LevelBasis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,11 @@ class Geometry:
     coarsen: Tuple[Ell, ...]
     embed: Dict[str, Tuple[Ell, ...]]
     backend: Backend
+    # Element-local views of `subspaces` (same matrices, MXU-friendly layout;
+    # see runtime/elements.py).  The solver's canonical representation.
+    bases: Dict[str, Tuple[LevelBasis, ...]] = dataclasses.field(
+        default_factory=dict
+    )
 
     @property
     def n(self) -> int:
@@ -95,4 +100,7 @@ class Geometry:
                 k: tuple(cast_ell(E) for E in v) for k, v in self.embed.items()
             },
             backend=backend,
+            bases={
+                k: tuple(B.astype(dt) for B in v) for k, v in self.bases.items()
+            },
         )

@@ -17,6 +17,15 @@ onto TPU hardware:
 
 from .ell import Ell, ell_from_coo, ell_from_scipy
 from .blockdiag import BlockDiagOp
+from .elements import LevelBasis, level_basis_from_csr
 from .map_rows import map_rows
 
-__all__ = ["Ell", "ell_from_coo", "ell_from_scipy", "BlockDiagOp", "map_rows"]
+__all__ = [
+    "Ell",
+    "ell_from_coo",
+    "ell_from_scipy",
+    "BlockDiagOp",
+    "LevelBasis",
+    "level_basis_from_csr",
+    "map_rows",
+]

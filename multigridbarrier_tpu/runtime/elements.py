@@ -1,0 +1,163 @@
+"""Element-local subspace bases — the TPU-native FEM assembly layout.
+
+The reference stores each multigrid inclusion matrix R_l (broken space <-
+level-l conforming subspace) as a distributed CSR and assembles the Newton
+matrix with an SpGEMM chain R' (D' diag(w.*y) D) R every iteration
+(reference: test/test_map_rows_compare.jl:102-139, hot loop SURVEY.md §3.1),
+re-hashing and re-planning communication each step
+(tools/profile_hash.jl:42-66).
+
+On TPU we exploit what the CSR hides: every broken point of finest element
+`e` interacts only with the subspace nodes of the level-l ancestor of `e`,
+so R_l is *element-local* — a dense (nq, nl) block per element plus an
+(nl,) global-node index list.  All solver operations become batched dense
+contractions on the MXU plus one gather and one segment-sum scatter:
+
+    R v     = einsum('eqa,efa->eqf', rloc, v[idx])            (gather + MXU)
+    R' y    = segment_sum(einsum('eqa,eqf->eaf', rloc, y))    (MXU + scatter)
+    R' M R  = batched (nl x nl) element matrices, never built globally
+
+Boundary (Dirichlet-eliminated) nodes are padded to slot `m`, whose basis
+value is 0; gathers read a zero pad row and scatters drop the pad slot.
+Shapes are static: nothing re-plans or recompiles inside the Newton loop.
+
+Sharding: the element axis is the reference's row-block distribution
+(SURVEY.md §2.5) — shard (nelem, ...) arrays over the 'dof' mesh axis,
+replicate the (m+1, nf) coefficient vectors; XLA GSPMD inserts the psum
+behind segment_sum where the reference built MPI plans by hand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["idx", "rloc"],
+    meta_fields=["m"],
+)
+@dataclasses.dataclass(frozen=True)
+class LevelBasis:
+    """Element-local view of one inclusion matrix R: (nelem*nq, m).
+
+    idx:  (nelem, nl) int32 — global subspace-node id of each local basis
+          function; padded entries hold `m` (one-past-the-end pad slot).
+    rloc: (nelem, nq, nl) — value of local basis function a at broken point
+          q of element e.  Padded columns are 0.
+    m:    number of real subspace dofs (static).
+    """
+
+    idx: jnp.ndarray
+    rloc: jnp.ndarray
+    m: int
+
+    @property
+    def nelem(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def nl(self) -> int:
+        return self.idx.shape[1]
+
+    @property
+    def nq(self) -> int:
+        return self.rloc.shape[1]
+
+    @property
+    def n(self) -> int:
+        return self.nelem * self.nq
+
+    @property
+    def shape(self):
+        return (self.n, self.m)
+
+    def pad_coeffs(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Append the zero pad row: (m, ...) -> (m+1, ...)."""
+        pad = jnp.zeros((1,) + v.shape[1:], dtype=v.dtype)
+        return jnp.concatenate([v, pad], axis=0)
+
+    def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        """R @ v for v: (m,) or (m, f) -> (n,) or (n, f)."""
+        single = v.ndim == 1
+        if single:
+            v = v[:, None]
+        ve = self.pad_coeffs(v)[self.idx]  # (nelem, nl, f)
+        out = jnp.einsum("eqa,eaf->eqf", self.rloc, ve)
+        out = out.reshape(self.n, v.shape[1])
+        return out[:, 0] if single else out
+
+    def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
+        """R.T @ y for y: (n,) or (n, f) -> (m,) or (m, f)."""
+        single = y.ndim == 1
+        if single:
+            y = y[:, None]
+        ye = y.reshape(self.nelem, self.nq, y.shape[1])
+        contrib = jnp.einsum("eqa,eqf->eaf", self.rloc, ye)
+        flat = contrib.reshape(self.nelem * self.nl, y.shape[1])
+        out = jax.ops.segment_sum(
+            flat, self.idx.reshape(-1), num_segments=self.m + 1
+        )[: self.m]
+        return out[:, 0] if single else out
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        idx = np.asarray(self.idx)
+        rloc = np.asarray(self.rloc)
+        nelem, nq, nl = rloc.shape
+        rows = np.repeat(np.arange(nelem * nq), nl)
+        cols = np.broadcast_to(idx[:, None, :], (nelem, nq, nl)).reshape(-1)
+        vals = rloc.reshape(-1)
+        keep = cols < self.m
+        return sp.csr_matrix(
+            (vals[keep], (rows[keep], cols[keep])), shape=self.shape
+        )
+
+    def astype(self, dtype) -> "LevelBasis":
+        return LevelBasis(idx=self.idx, rloc=self.rloc.astype(dtype), m=self.m)
+
+
+def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
+    """Extract the element-local structure from a scipy CSR inclusion matrix.
+
+    Requires rows of each element (nq consecutive rows) to reference a
+    bounded set of columns — true for every FEM inclusion matrix here, where
+    the columns of element e are the subspace nodes of its ancestor element.
+    """
+    import scipy.sparse as sp
+
+    R = sp.csr_matrix(R)
+    n, m = R.shape
+    if n % nq:
+        raise ValueError(f"rows {n} not a multiple of nq={nq}")
+    nelem = n // nq
+
+    indptr, indices, data = R.indptr, R.indices, R.data
+    # per-element column sets
+    col_lists = []
+    nl = 1
+    for e in range(nelem):
+        lo, hi = indptr[e * nq], indptr[(e + 1) * nq]
+        cols = np.unique(indices[lo:hi])
+        col_lists.append(cols)
+        nl = max(nl, len(cols))
+
+    idx = np.full((nelem, nl), m, dtype=itype)
+    rloc = np.zeros((nelem, nq, nl), dtype=dtype or R.dtype)
+    for e, cols in enumerate(col_lists):
+        idx[e, : len(cols)] = cols
+        pos = {c: a for a, c in enumerate(cols)}
+        for q in range(nq):
+            r = e * nq + q
+            for k in range(indptr[r], indptr[r + 1]):
+                rloc[e, q, pos[indices[k]]] += data[k]
+
+    return LevelBasis(
+        idx=jnp.asarray(idx), rloc=jnp.asarray(rloc), m=int(m)
+    )

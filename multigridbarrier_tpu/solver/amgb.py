@@ -52,8 +52,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.geometry import Geometry
-from ..runtime import Ell
 from .convex import Convex, convex_Euclidian_power
+from .linsolve import LevelSystem, dense_solve, mgcg_solve
 
 # ----------------------------------------------------------------------------
 # Problem specification
@@ -166,9 +166,24 @@ def _apply_Dt(ops, spec: DSpec, gy, nfields):
     return jnp.stack([o if o is not None else zero for o in out], axis=1)
 
 
+def _masked_wsum(w, vals):
+    """sum(w * vals) ignoring zero-weight (padding) rows, where vals may be
+    NaN on padded rows (0 * NaN = NaN otherwise)."""
+    return jnp.sum(jnp.where(w != 0, w * vals, 0.0))
+
+
 class _SolverCtx:
-    """Holds per-level jitted Newton step functions for one (geometry,
-    problem) pair."""
+    """Per-(geometry, problem) solver state: element-local operator tensors
+    and per-level jitted Newton step functions.
+
+    TPU-native data layout (see runtime/elements.py): for level l the
+    combined operator-on-subspace D_j @ R_l is the batched tensor
+    B_l: (nelem, nq, k, nl) plus node ids idx_l: (nelem, nl).  One Newton
+    step is: vmap'd barrier derivatives -> batched element Hessians (MXU)
+    -> dense Cholesky or MG-CG solve -> line search, all inside one jit.
+    The reference assembles the same objects as a distributed SpGEMM chain
+    re-planned every iteration (SURVEY.md §3.1, tools/profile_hash.jl:63-66).
+    """
 
     def __init__(
         self,
@@ -181,6 +196,8 @@ class _SolverCtx:
         max_backtrack: int = 60,
         linear_solver: Optional[Callable] = None,
         x=None,
+        cg_rtol: float = 1e-12,
+        cg_maxiter: int = 400,
     ):
         self.geometry = geometry
         self.spec = spec
@@ -190,137 +207,237 @@ class _SolverCtx:
         self.armijo = armijo
         self.max_backtrack = max_backtrack
         self.linear_solver = linear_solver
+        self.cg_rtol = cg_rtol
+        self.cg_maxiter = cg_maxiter
 
         g = geometry
-        self.levels = len(g.subspaces[subspace])
+        self.levels = len(g.bases[subspace])
         self.x = g.x if x is None else x  # may carry extra aux columns
         self.w = g.w
         self.ops = g.operators
+        self.backend = g.backend
 
-        # Dense per-level operator-on-subspace A_j = D_j @ R  (k, n, m);
-        # independent of z, built once (the reference rebuilds the
-        # equivalent SpGEMM chain every Newton step, SURVEY.md §3.1).
-        self._level_A = []
-        self._level_R = []
+        # Element-local operator tensors per level: B_l[:, :, j, :] is
+        # (D_{op_j} @ R_l) restricted to element e — a batched matmul of the
+        # per-element operator block with the local basis block.
+        self._bases = g.bases[subspace]
+        self._embeds = g.embed.get(subspace, ())
+        self._B = []
         for lvl in range(self.levels):
-            R = g.subspaces[subspace][lvl]
-            Rd = R.todense()
-            A = jnp.stack([self.ops[op].matvec(Rd) for (_, op) in spec.entries])
-            self._level_A.append(A)
-            self._level_R.append(R)
+            rloc = self._bases[lvl].rloc  # (nelem, nq, nl)
+            cols = []
+            for (_, opname) in spec.entries:
+                op = self.ops[opname]
+                if op.is_identity:
+                    cols.append(rloc)
+                else:
+                    cols.append(jnp.einsum("eqr,era->eqa", op.blocks, rloc))
+            self._B.append(jnp.stack(cols, axis=2))  # (nelem, nq, k, nl)
 
-        self._step = self._build_step()
+        # GSPMD placement: element-batched tensors are sharded over the
+        # 'dof' mesh axis (the reference's row-block MPI distribution,
+        # SURVEY.md §2.5); subspace coefficient vectors stay replicated, so
+        # segment-sum scatters lower to a local scatter + psum over ICI.
+        be = self.backend
+        if be.mesh is not None:
+            self._B = [be.shard_rows(B) for B in self._B]
+            self._bases = tuple(
+                dataclasses.replace(
+                    b, idx=be.shard_rows(b.idx), rloc=be.shard_rows(b.rloc)
+                )
+                for b in self._bases
+            )
+            self.x = be.shard_rows(self.x)
+            self.w = be.shard_rows(self.w)
+            self.c = be.shard_rows(self.c)
+
+        self._steps = {}
         self._eval = self._build_eval()
 
     # -- jitted pieces ------------------------------------------------------
 
     def _build_eval(self):
-        spec, barrier = self.spec, self.barrier
+        spec, barrier, ops = self.spec, self.barrier, self.ops
 
         def evaluate(x, w, c, z, t):
-            y = _apply_D(self.ops, spec, z)
+            y = _apply_D(ops, spec, z)
             F0v = jax.vmap(barrier)(x, y)
             cy = jnp.sum(w * jnp.sum(c * y, axis=1))
-            fy = jnp.sum(w * F0v)
+            fy = _masked_wsum(w, F0v)
             return t * cy + fy, cy
 
         return jax.jit(evaluate)
 
-    def _build_step(self):
-        spec, barrier = self.spec, self.barrier
+    def _assemble_He(self, Bl, Y2w_e):
+        """Batched element Hessians (nelem, nf*nl, nf*nl) from the barrier
+        row Hessians Y2w_e (nelem, nq, k, k) — the reference's
+        H = sum_{j,l} D_j' diag(w.*y_jl) D_l restricted per element
+        (test/test_map_rows_compare.jl:110-139), as k^2/2 batched MXU
+        contractions."""
+        spec = self.spec
+        nf, k = spec.nfields, spec.k
+        nelem, nq, _, nl = Bl.shape
+        He = jnp.zeros((nelem, nf * nl, nf * nl), dtype=Bl.dtype)
+        for j in range(k):
+            fj = spec.entries[j][0]
+            Bj = Bl[:, :, j, :]
+            for l in range(j, k):
+                fl = spec.entries[l][0]
+                Hjl = jnp.einsum(
+                    "eqa,eqb->eab", Bj * Y2w_e[:, :, j, l, None], Bl[:, :, l, :]
+                )
+                He = He.at[
+                    :, fj * nl : (fj + 1) * nl, fl * nl : (fl + 1) * nl
+                ].add(Hjl)
+                if l != j:
+                    He = He.at[
+                        :, fl * nl : (fl + 1) * nl, fj * nl : (fj + 1) * nl
+                    ].add(Hjl.transpose(0, 2, 1))
+        return He
+
+    def _build_step(self, level: int):
+        spec, barrier, ops = self.spec, self.barrier, self.ops
         nf, k = spec.nfields, spec.k
         armijo, max_bt = self.armijo, self.max_backtrack
         F1 = jax.grad(barrier, argnums=1)
         F2 = jax.hessian(barrier, argnums=1)
         custom_solve = self.linear_solver
 
-        def step(A, R_cols, R_vals, x, w, c, z, t):
-            # A: (k, n, m) dense; R in ELL pieces (cols/vals) for rmatvec.
-            m = A.shape[2]
-            y = _apply_D(self.ops, spec, z)
+        basis = self._bases[level]
+        m, nl, nq = basis.m, basis.nl, basis.nq
+        # static solver choice per level: dense Cholesky below the
+        # threshold (the coarse-grid MUMPS replacement), MG-CG above
+        use_dense = (
+            custom_solve is not None
+            or nf * m <= self.backend.dense_threshold
+            or level == 0
+        )
+        sub_levels = list(range(level + 1))
+        cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
+
+        def step(Bs, idxs, embeds, rloc, x, w, c, z, t):
+            # Bs/idxs: per-sublevel element tensors (finest = Bs[-1]).
+            Bl, idx = Bs[-1], idxs[-1]
+            nelem = Bl.shape[0]
+            y = _apply_D(ops, spec, z)
             F0v = jax.vmap(barrier)(x, y)
             cy = jnp.sum(w * jnp.sum(c * y, axis=1))
-            fy = jnp.sum(w * F0v)
-            phi0 = t * cy + fy
+            fy0 = _masked_wsum(w, F0v)
+            phi0 = t * cy + fy0
 
-            # gradient in subspace coordinates, field-major (nf*m,)
+            # gradient rows, then element-local reduction + scatter
             F1v = jax.vmap(F1)(x, y)  # (n, k)
-            gy = w[:, None] * (t * c + F1v)  # (n, k)
-            gz = _apply_Dt(self.ops, spec, gy, nf)  # (n, nf)
-            R = Ell(cols=R_cols, vals=R_vals, shape=(A.shape[1], m))
-            gv = R.rmatvec(gz).T.reshape(-1)  # (nf*m,)
-
-            # Hessian: H[(fa,a),(fb,b)] = sum_{j,l} [f_j=fa][f_l=fb]
-            #   sum_n w_n Y2[n,j,l] A[j,n,a] A[l,n,b]
-            Y2 = jax.vmap(F2)(x, y) * w[:, None, None]  # (n, k, k)
-            H = jnp.zeros((nf * m, nf * m), dtype=z.dtype)
+            gy = (w[:, None] * (t * c + F1v)).reshape(nelem, nq, k)
+            ge = jnp.zeros((nelem, nf, nl), dtype=z.dtype)
             for j in range(k):
                 fj = spec.entries[j][0]
-                for l in range(j, k):
-                    fl = spec.entries[l][0]
-                    blk = (A[j] * Y2[:, j, l, None]).T @ A[l]
-                    H = H.at[fj * m : (fj + 1) * m, fl * m : (fl + 1) * m].add(blk)
-                    if l != j:
-                        H = H.at[
-                            fl * m : (fl + 1) * m, fj * m : (fj + 1) * m
-                        ].add(blk.T)
+                ge = ge.at[:, fj, :].add(
+                    jnp.einsum("eq,eqa->ea", gy[:, :, j], Bl[:, :, j, :])
+                )
+            gv = jax.ops.segment_sum(
+                ge.transpose(0, 2, 1).reshape(-1, nf),
+                idx.reshape(-1),
+                num_segments=m + 1,
+            ).T  # (nf, m+1)
+            gv = gv.at[:, m].set(0.0)
 
-            if custom_solve is None:
-                # Cholesky, not LU: XLA:TPU has no f64 LuDecomposition, and
-                # the Newton matrix is SPD by construction (the reference
-                # solves it with MUMPS' symmetric factorization, SURVEY §3.5).
-                cf = jax.scipy.linalg.cho_factor(H)
-                delta = -jax.scipy.linalg.cho_solve(cf, gv)
+            # element Hessians at every sub-level (shared row Hessians)
+            Y2w = jax.vmap(F2)(x, y) * w[:, None, None]  # (n, k, k)
+            Y2w_e = Y2w.reshape(nelem, nq, k, k)
+            if use_dense:
+                systems = [LevelSystem(self._assemble_He(Bl, Y2w_e), idx, m)]
             else:
-                delta = custom_solve(H, -gv)
-            lam2 = -jnp.dot(gv, delta)
+                systems = [
+                    LevelSystem(
+                        self._assemble_He(Bs[i], Y2w_e),
+                        idxs[i],
+                        self._bases[sub_levels[i]].m,
+                    )
+                    for i in range(len(Bs))
+                ]
 
-            # direction in Dz-space: dY[:, j] = A[j] @ delta_{field f_j}
-            dv = delta.reshape(nf, m)
+            cg_iters = jnp.asarray(0, dtype=jnp.int32)
+            if custom_solve is not None:
+                from .linsolve import dense_assemble
+
+                H = dense_assemble(systems[-1], nf)
+                dvp = custom_solve(H, -gv.reshape(-1)).reshape(nf, m + 1)
+                dvp = dvp.at[:, m].set(0.0)
+            elif use_dense:
+                dvp = dense_solve(systems[-1], nf, -gv)
+            else:
+                dvp, cg_iters, _ = mgcg_solve(
+                    systems, embeds, -gv, nf, rtol=cg_rtol, maxiter=cg_maxiter
+                )
+            lam2 = -jnp.vdot(gv, dvp)
+
+            # direction in Dz-space and broken space
+            dve = dvp[:, idx]  # (nf, nelem, nl)
             dY = jnp.stack(
-                [A[j] @ dv[spec.entries[j][0]] for j in range(k)], axis=1
-            )
+                [
+                    jnp.einsum(
+                        "eqa,ea->eq", Bl[:, :, j, :], dve[spec.entries[j][0]]
+                    )
+                    for j in range(k)
+                ],
+                axis=2,
+            ).reshape(-1, k)
             c_dY = jnp.sum(w * jnp.sum(c * dY, axis=1))
 
             lam = jnp.sqrt(jnp.maximum(lam2, 0.0))
             alpha0 = jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
 
-            def phi_of(alpha):
+            def dphi_of(alpha):
+                # difference form: at large t, |phi| ~ t while the Armijo
+                # decrease is O(lam2); evaluating phi(a) - phi(0) directly
+                # avoids the |phi|*eps cancellation floor
                 ya = y + alpha * dY
-                return t * (cy + alpha * c_dY) + jnp.sum(
-                    w * jax.vmap(barrier)(x, ya)
-                )
+                dfy = _masked_wsum(w, jax.vmap(barrier)(x, ya)) - fy0
+                return t * alpha * c_dY + dfy
+
+            def accept(alpha, dphi):
+                return jnp.isfinite(dphi) & (dphi <= -armijo * alpha * lam2)
 
             def cond(state):
-                alpha, phia, it = state
-                ok = jnp.isfinite(phia) & (phia <= phi0 - armijo * alpha * lam2)
-                return (~ok) & (it < max_bt)
+                alpha, dphia, it = state
+                return (~accept(alpha, dphia)) & (it < max_bt)
 
             def body(state):
                 alpha, _, it = state
                 alpha = alpha * 0.5
-                return alpha, phi_of(alpha), it + 1
+                return alpha, dphi_of(alpha), it + 1
 
-            alpha, phia, bt = jax.lax.while_loop(
-                cond, body, (alpha0, phi_of(alpha0), 0)
+            alpha, dphia, bt = jax.lax.while_loop(
+                cond, body, (alpha0, dphi_of(alpha0), 0)
             )
-            ok = jnp.isfinite(phia) & (phia <= phi0 - armijo * alpha * lam2)
-            alpha = jnp.where(ok, alpha, 0.0)
+            alpha = jnp.where(accept(alpha, dphia), alpha, 0.0)
 
-            # z update: per field z[:, f] += alpha * R @ dv[f]
-            dz = R.matvec(dv.T)  # (n, nf)
+            dz = jnp.einsum("eqa,fea->eqf", rloc, dve).reshape(z.shape)
             z_new = z + alpha * dz
-            return z_new, lam2, alpha, phi0, cy
+            dphi = jnp.where(alpha > 0, dphia, 0.0)
+            return z_new, lam2, alpha, phi0, cy, dphi
 
         return jax.jit(step)
 
     # -- public -------------------------------------------------------------
 
     def step(self, level: int, z, t):
-        A = self._level_A[level]
-        R = self._level_R[level]
-        return self._step(
-            A, R.cols, R.vals, self.x, self.w, self.c, z, jnp.asarray(t, dtype=z.dtype)
+        if level not in self._steps:
+            self._steps[level] = self._build_step(level)
+        Bs = tuple(self._B[: level + 1])
+        idxs = tuple(b.idx for b in self._bases[: level + 1])
+        embeds = tuple(self._embeds[:level])
+        rloc = self._bases[level].rloc
+        return self._steps[level](
+            Bs,
+            idxs,
+            embeds,
+            rloc,
+            self.x,
+            self.w,
+            self.c,
+            z,
+            jnp.asarray(t, dtype=z.dtype),
         )
 
     def evaluate(self, z, t):
@@ -363,35 +480,66 @@ def _path_follow(
             print(msg, file=logfile)
 
     converged = True
+    frozen = set()  # levels that locked at an earlier t: skip henceforth
     while True:
         ts.append(t)
         z_backup = z
         its_backup = its.copy()
         ok = True
         for lvl in range(L):
+            if lvl in frozen and lvl < L - 1:
+                continue
             lam2 = np.inf
+            hist = []
+            locked = False
             for _ in range(newton_cap):
-                z, lam2, alpha, phi, cy = ctx.step(lvl, z, t)
+                z, lam2, alpha, phi, cy, dphi = ctx.step(lvl, z, t)
                 its[lvl] += 1
                 total += 1
+                l2 = float(lam2)
                 log.append(
                     dict(
                         phase=phase,
                         t=t,
                         level=lvl,
-                        lam2=float(lam2),
+                        lam2=l2,
                         alpha=float(alpha),
                         phi=float(phi),
+                        dphi=float(dphi),
                     )
                 )
                 if total > maxit:
                     raise AMGBConvergenceFailure(
                         f"amgb: exceeded maxit={maxit} Newton iterations"
                     )
-                if not np.isfinite(float(lam2)):
+                if not np.isfinite(l2):
                     ok = False
                     break
-                if float(lam2) <= theta ** 2:
+                if float(alpha) == 0.0:
+                    # level locked: the line search certifies that no step
+                    # of any size yields measurable progress — at large t
+                    # the constraint margins (~1/t) sit at the f64
+                    # cancellation floor and the measured decrement is
+                    # noise (any double-precision implementation,
+                    # including the reference's MUMPS-backed one, hits the
+                    # same wall).  The iterate is centered to working
+                    # precision: accept, and freeze the level for larger t.
+                    locked = True
+                    frozen.add(lvl)
+                    break
+                if l2 <= theta ** 2:
+                    break
+                # f64-floor stall: at extreme barrier conditioning the
+                # linear solve (like any double-precision factorization,
+                # including the reference's MUMPS) cannot deliver a
+                # direction that contracts the decrement further.  Inside
+                # the damped-Newton region, accept the iterate as centered.
+                hist.append(l2)
+                if (
+                    l2 <= 0.25
+                    and len(hist) >= 8
+                    and min(hist[-4:]) >= 0.9 * min(hist[-8:-4])
+                ):
                     break
             else:
                 # newton_cap hit without reaching theta: treat as t-step
@@ -401,12 +549,24 @@ def _path_follow(
                 break
 
         if not ok:
-            # adaptive barrier stepping: halve the step in log space
-            # (reference `kappa` semantics, docs/src/guide.md:148-152).
             z = z_backup
             its = its_backup
             ts.pop()
             t_prev = ts[-1] if ts else t0
+            # escalation 1: drop the coarse sweep.  Late in the path the
+            # coarse subspaces cannot move without crossing fine-grid
+            # constraints, and their last useful step can leave the finest
+            # level wedged against the boundary — retry fine-only first.
+            if len(frozen) < L - 1:
+                frozen.update(range(L - 1))
+                emit(
+                    f"[amgb:{phase}] step rejected; retrying t={t:.3e} "
+                    "with coarse levels frozen"
+                )
+                continue
+            # escalation 2: adaptive barrier stepping — halve the step in
+            # log space (reference `kappa` semantics,
+            # docs/src/guide.md:148-152).
             if kap <= 1.0 + 1e-9 or t <= t_prev * (1 + 1e-12):
                 raise AMGBConvergenceFailure(
                     f"amgb: Newton failed to converge at t={t} "
@@ -436,7 +596,7 @@ def _path_follow(
     if early_stop is None:
         prev = np.inf
         for _ in range(newton_cap):
-            z, lam2, alpha, phi, cy = ctx.step(L - 1, z, t)
+            z, lam2, alpha, phi, cy, dphi = ctx.step(L - 1, z, t)
             its[L - 1] += 1
             lam2f = float(lam2)
             if not np.isfinite(lam2f):
@@ -512,6 +672,7 @@ def amgb(
         z0 = jax.vmap(lambda xi: jnp.asarray(gfun(xi), dtype=dtype))(x)
     else:
         z0 = jnp.asarray(z0, dtype=dtype)
+    z0 = geometry.backend.shard_rows(z0)
     if c.shape[1] != spec.k:
         raise ValueError(f"f(x) must return {spec.k} components, got {c.shape[1]}")
     if z0.shape[1] != spec.nfields:

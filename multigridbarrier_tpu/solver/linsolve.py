@@ -1,0 +1,321 @@
+"""Newton linear solvers — the MUMPS/cuDSS replacement (SURVEY.md §2.4).
+
+No sparse direct solver exists on TPU; instead the Newton system
+
+    H = R' (D' diag(w .* F2) D) R      (SPD on the barrier interior)
+
+is solved per level in one of two ways, chosen statically by subspace size:
+
+* dense: the per-element Hessians are scatter-added into a global dense
+  matrix and factored with Cholesky (coarse levels; MXU-friendly, exact).
+* mgcg: matrix-free preconditioned CG where H v is a batched element
+  matmul + gather/segment-sum, preconditioned by a geometric multigrid
+  V-cycle over the *same* element-local hierarchy.  Because every level's
+  inclusion matrix targets the same broken space (R_l = R_{l+1} E_l), the
+  rediscretized coarse Hessian equals the Galerkin operator E' H E exactly,
+  so this is true Galerkin multigrid at zero SpGEMM cost (the reference
+  pays a distributed SpGEMM chain per Newton step for the same object,
+  reference test/test_amg_structure.jl:114-133).
+
+Vectors use the field-major layout (nf, m+1): m real coefficients plus one
+zero pad slot per field (see runtime/elements.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class LevelSystem(NamedTuple):
+    """One level's assembled element Hessians.
+
+    He:  (nelem, nf*nl, nf*nl) per-element Hessian blocks
+    idx: (nelem, nl) global node ids (pad slot = m)
+    m:   static subspace size
+    """
+
+    He: jnp.ndarray
+    idx: jnp.ndarray
+    m: int
+
+
+def hvp(sys_: LevelSystem, vp: jnp.ndarray) -> jnp.ndarray:
+    """H @ v, matrix-free: gather -> batched matmul -> segment-sum scatter.
+
+    vp: (nf, m+1) padded field-major coefficients; returns same shape with a
+    zero pad slot.  This is the entire SpMV of the reference's Newton solve
+    (SURVEY.md §3.5) as three XLA ops.
+    """
+    He, idx, m = sys_
+    nelem, nl = idx.shape
+    nf = vp.shape[0]
+    ve = vp[:, idx]  # (nf, nelem, nl)
+    ve = ve.transpose(1, 0, 2).reshape(nelem, nf * nl)
+    hve = jnp.einsum("eab,eb->ea", He, ve)
+    flat = hve.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
+    out = jax.ops.segment_sum(flat, idx.reshape(-1), num_segments=m + 1)
+    out = out.T  # (nf, m+1)
+    return out.at[:, m].set(0.0)
+
+
+def diag_of(sys_: LevelSystem) -> jnp.ndarray:
+    """diag(H) as (nf, m+1); pad slot set to 1 (harmless inverse)."""
+    He, idx, m = sys_
+    nelem, nl = idx.shape
+    nf = He.shape[1] // nl
+    d = jnp.diagonal(He, axis1=1, axis2=2).reshape(nelem, nf, nl)
+    flat = d.transpose(0, 2, 1).reshape(-1, nf)
+    out = jax.ops.segment_sum(flat, idx.reshape(-1), num_segments=m + 1).T
+    return out.at[:, m].set(1.0)
+
+
+def dense_assemble(sys_: LevelSystem, nf: int) -> jnp.ndarray:
+    """Scatter element Hessians into the global dense matrix of size
+    N = nf*(m+1), with identity on pad rows (their He entries are zero by
+    construction, so this keeps the matrix SPD)."""
+    He, idx, m = sys_
+    nelem, nl = idx.shape
+    N = nf * (m + 1)
+    fid = jnp.arange(nf)[None, :, None] * (m + 1) + idx[:, None, :]
+    fid = fid.reshape(nelem, nf * nl)
+    H = jnp.zeros((N, N), dtype=He.dtype)
+    H = H.at[fid[:, :, None], fid[:, None, :]].add(He)
+    padids = jnp.arange(nf) * (m + 1) + m
+    return H.at[padids, padids].add(1.0)
+
+
+def dense_solve(
+    sys_: LevelSystem, nf: int, bp: jnp.ndarray, shifts=(0.0, 1e-13, 1e-10)
+) -> jnp.ndarray:
+    """Direct solve via dense Cholesky (no f64 LU on XLA:TPU; H is SPD).
+
+    Barrier Hessians reach cond ~ 1e17 near path convergence.  An UNSHIFTED
+    backward-stable factorization still yields excellent Newton directions
+    there (the errors align with the benign subspace — this is why the
+    reference can rely on MUMPS, SURVEY.md §3.5), whereas a regularizing
+    shift of the diagonal destroys precisely the near-null components that
+    carry the remaining Newton decrement.  So: factor unshifted first and
+    escalate through `shifts` only on breakdown (negative pivot -> NaN),
+    mirroring MUMPS' static pivot perturbation.
+
+    bp: (nf, m+1) -> (nf, m+1)."""
+    H0 = dense_assemble(sys_, nf)
+    ii = jnp.arange(H0.shape[0])
+    b = bp.reshape(-1)
+    m = sys_.m
+
+    def zero_pad(x):
+        return x.reshape(nf, m + 1).at[:, m].set(0.0)
+
+    def attempt(shift):
+        H = H0.at[ii, ii].mul(1.0 + shift) if shift else H0
+        cf = jax.scipy.linalg.cho_factor(H)
+        x = jax.scipy.linalg.cho_solve(cf, b)
+        # two rounds of f64 iterative refinement with matrix-free residuals
+        # (fresh He contraction, independent of factorization error) — the
+        # post-solve IR that lets MUMPS survive cond ~ 1/eps Newton systems
+        for _ in range(2):
+            r = b - hvp(sys_, zero_pad(x)).reshape(-1)
+            x = x + jax.scipy.linalg.cho_solve(cf, r)
+        return x
+
+    x = attempt(shifts[0])
+    for s in shifts[1:]:
+        x = jax.lax.cond(
+            jnp.all(jnp.isfinite(x)),
+            lambda x: x,
+            lambda _: attempt(s),
+            x,
+        )
+    return zero_pad(x)
+
+
+# ----------------------------------------------------------------------------
+# Multigrid V-cycle preconditioner
+# ----------------------------------------------------------------------------
+
+
+def lambda_max_est(sys_: LevelSystem, dinv, iters: int = 12) -> jnp.ndarray:
+    """Estimate lambda_max(D^-1 H) by power iteration (deterministic start).
+
+    Barrier Hessians have unbounded dynamic range along the central path
+    (cond ~ t^2), but the *Jacobi-scaled* operator stays O(1); the smoother
+    must still track its top eigenvalue each Newton step or the V-cycle
+    turns indefinite and CG diverges."""
+    nf, mp1 = dinv.shape
+    # fixed quasi-random start vector (no jax PRNG: cheap + deterministic)
+    i = jnp.arange(nf * mp1, dtype=dinv.dtype).reshape(nf, mp1)
+    v = jnp.cos(i * 7.13) + 0.3
+    v = v.at[:, sys_.m].set(0.0)
+
+    def body(_, carry):
+        v, lam = carry
+        w = dinv * hvp(sys_, v)
+        lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v), 1e-300))
+        return w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), 1e-300), lam
+
+    _, lam = jax.lax.fori_loop(
+        0, iters, body, (v, jnp.asarray(1.0, dtype=dinv.dtype))
+    )
+    return lam * 1.05  # safety margin
+
+
+def chebyshev(
+    sys_: LevelSystem, dinv, lmax, xp, bp, degree: int = 4, ratio: float = 8.0
+):
+    """Chebyshev-Jacobi smoothing on [lmax/ratio, lmax] (Saad 3rd ed.,
+    Alg. 12.1 adapted to a preconditioned operator).  A polynomial in
+    D^-1 H => symmetric in the D inner product, so V(cheb,cheb) remains a
+    valid SPD preconditioner for CG."""
+    lmin = lmax / ratio
+    d = 0.5 * (lmax + lmin)
+    c = 0.5 * (lmax - lmin)
+    r = bp - hvp(sys_, xp)
+    p = jnp.zeros_like(bp)
+    alpha = jnp.asarray(0.0, dtype=bp.dtype)
+    beta = jnp.asarray(0.0, dtype=bp.dtype)
+    for i in range(degree):
+        z = dinv * r
+        if i == 0:
+            p = z
+            alpha = 1.0 / d
+        else:
+            beta = (c * alpha / 2.0) ** 2
+            alpha = 1.0 / (d - beta / alpha)
+            p = z + beta * p
+        xp = xp + alpha * p
+        r = r - alpha * hvp(sys_, p)
+    return xp
+
+
+def vcycle(
+    systems: Sequence[LevelSystem],
+    dinvs: Sequence[jnp.ndarray],
+    lmaxs: Sequence[jnp.ndarray],
+    embeds: Sequence,
+    coarse_cf,
+    bp: jnp.ndarray,
+    nf: int,
+    degree: int = 4,
+) -> jnp.ndarray:
+    """One V-cycle with Chebyshev-Jacobi smoothing on the finest of
+    `systems`.
+
+    embeds[i]: inclusion of level-i subspace into level-(i+1) (the
+    geometry's `embed['dirichlet']`, nested by construction).  coarse_cf is
+    the prefactored Cholesky of the coarsest dense matrix.  Because every
+    level's inclusion targets the same broken space, these rediscretized
+    coarse operators ARE the Galerkin operators (linsolve module doc)."""
+
+    def cycle(l, bp_l):
+        sys_l, dinv_l, lmax_l = systems[l], dinvs[l], lmaxs[l]
+        if l == 0:
+            x = jax.scipy.linalg.cho_solve(coarse_cf, bp_l.reshape(-1))
+            return x.reshape(nf, sys_l.m + 1).at[:, sys_l.m].set(0.0)
+        xp = chebyshev(
+            sys_l, dinv_l, lmax_l, jnp.zeros_like(bp_l), bp_l, degree
+        )
+        r = bp_l - hvp(sys_l, xp)
+        E = embeds[l - 1]  # (m_l, m_{l-1})
+        r_c = E.rmatvec(r[:, : sys_l.m].T).T  # (nf, m_{l-1})
+        r_cp = jnp.concatenate(
+            [r_c, jnp.zeros((nf, 1), dtype=r_c.dtype)], axis=1
+        )
+        e_c = cycle(l - 1, r_cp)
+        e_f = E.matvec(e_c[:, : systems[l - 1].m].T).T  # (nf, m_l)
+        xp = xp + jnp.concatenate(
+            [e_f, jnp.zeros((nf, 1), dtype=e_f.dtype)], axis=1
+        )
+        return chebyshev(sys_l, dinv_l, lmax_l, xp, bp_l, degree)
+
+    return cycle(len(systems) - 1, bp)
+
+
+def mgcg_solve(
+    systems: Sequence[LevelSystem],
+    embeds: Sequence,
+    bp: jnp.ndarray,
+    nf: int,
+    rtol: float = 1e-10,
+    maxiter: int = 200,
+    degree: int = 4,
+    shift: float = 0.0,
+    stagnation: int = 12,
+):
+    """Multigrid-preconditioned CG on the finest level of `systems`.
+
+    Barrier Hessians become *numerically singular* along the central path
+    (scaled lambda_min -> machine eps as t grows); a direct factorization
+    (the reference's MUMPS, SURVEY.md §3.5) shrugs this off via backward
+    stability, an iterative method cannot.  Two countermeasures make MG-CG
+    a drop-in replacement:
+
+    * Best-iterate tracking with stagnation cut-off: CG returns the lowest-
+      residual iterate seen, stopping after `stagnation` non-improving
+      steps, so a stalled solve still yields a usable descent direction
+      (CG iterates stay in the Krylov range-space, so near-singularity
+      degrades convergence rather than corrupting the direction).
+    * Optional Levenberg shift (H + shift*diag(H)); default 0 — a shift
+      damps exactly the near-null Newton components that carry the
+      remaining decrement (see dense_solve docstring), so it is reserved
+      for callers that hit genuine breakdowns.
+
+    Returns (xp, iterations, relative_residual of best iterate).  Static
+    shapes; the loop is a lax.while_loop with no host syncs.
+    """
+    fine = systems[-1]
+    diag_fine = diag_of(fine)
+    dinvs = [1.0 / diag_of(s) for s in systems]
+    lmaxs = [lambda_max_est(s, d) for s, d in zip(systems, dinvs)]
+    coarse_cf = jax.scipy.linalg.cho_factor(dense_assemble(systems[0], nf))
+
+    sh = jnp.asarray(shift, dtype=bp.dtype)
+
+    def Aop(v):
+        return hvp(fine, v) + sh * diag_fine * v
+
+    def precond(r):
+        return vcycle(
+            systems, dinvs, lmaxs, embeds, coarse_cf, r, nf, degree=degree
+        )
+
+    b2 = jnp.vdot(bp, bp)
+    eps = jnp.asarray(jnp.finfo(bp.dtype).tiny, dtype=bp.dtype)
+
+    x0 = jnp.zeros_like(bp)
+    r0 = bp
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    state0 = (x0, r0, p0, rz0, 0, x0, b2, 0)
+
+    def cond(state):
+        x, r, p, rz, it, xb, rb2, stag = state
+        converged = jnp.vdot(r, r) <= rtol * rtol * b2 + eps
+        return (~converged) & (it < maxiter) & (stag < stagnation)
+
+    def body(state):
+        x, r, p, rz, it, xb, rb2, stag = state
+        Ap = Aop(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / (pAp + eps)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r2 = jnp.vdot(r, r)
+        better = r2 < rb2
+        xb = jnp.where(better, x, xb)
+        rb2 = jnp.where(better, r2, rb2)
+        stag = jnp.where(better, 0, stag + 1)
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / (rz + eps)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1, xb, rb2, stag
+
+    x, r, p, rz, it, xb, rb2, stag = jax.lax.while_loop(cond, body, state0)
+    rel = jnp.sqrt(rb2 / (b2 + eps))
+    return xb.at[:, fine.m].set(0.0), it, rel

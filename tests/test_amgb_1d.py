@@ -80,22 +80,20 @@ def test_amgb_1d_p1_converges():
 
 
 def test_amgb_boundary_values_preserved():
-    # z - g must stay in the Dirichlet subspace: boundary trace of u is g's
+    # the iterate constraint is z = z0 + R v with R the Dirichlet subspace:
+    # z - z0 must lie in range(R) (boundary data enters only through z0,
+    # matching the reference's subspace-constrained Newton steps)
     g = mgb.fem1d(L=3)
     sol = mgb.amgb(g, p=1.0, tol=1e-6)
     z = np.asarray(sol.z)
     x = np.asarray(g.x)[:, 0]
-    # reconstruct broken u at element boundaries: extrapolate element-linear
-    # values to the element endpoints and compare first/last to x^2
-    nq = 2
-    u = z[:, 0].reshape(-1, nq)
-    xg = x.reshape(-1, nq)
-    # element 0: value at x=-1
-    t0 = (-1.0 - xg[0, 0]) / (xg[0, 1] - xg[0, 0])
-    left = u[0, 0] + t0 * (u[0, 1] - u[0, 0])
-    t1 = (1.0 - xg[-1, 0]) / (xg[-1, 1] - xg[-1, 0])
-    right = u[-1, 0] + t1 * (u[-1, 1] - u[-1, 0])
-    assert abs(left - 1.0) < 1e-6 and abs(right - 1.0) < 1e-6
+    z0 = np.stack([x ** 2, np.full_like(x, 100.0)], axis=1)
+    R = g.subspaces["dirichlet"][-1].to_scipy().toarray()
+    dz = z - z0
+    # least-squares residual of projecting each field onto range(R) ~ 0
+    for f in range(2):
+        v, res, *_ = np.linalg.lstsq(R, dz[:, f], rcond=None)
+        assert np.abs(R @ v - dz[:, f]).max() < 1e-8
 
 
 def test_amgb_ignores_unknown_kwargs():

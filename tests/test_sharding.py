@@ -1,0 +1,67 @@
+"""Multi-device parity tests over a virtual 8-device CPU mesh.
+
+The reference's core invariant is that the distributed solve agrees with
+the single-process solve to ~1e-10 (test/test_quick.jl:137-140,
+docs/src/guide.md:176-189).  Here "distributed" is a jax.sharding.Mesh over
+8 virtual CPU devices with the element axis sharded; GSPMD inserts the
+collectives the reference hand-plans with MPI."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import multigridbarrier_tpu as mgb
+from multigridbarrier_tpu.backend import Backend, DOF_AXIS, make_mesh
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8
+def test_fem2d_solve_parity_8dev():
+    mesh = make_mesh(8)
+    sol1 = mgb.amgb(mgb.fem2d(L=3), p=1.0, tol=1e-7)
+    b8 = Backend(dtype=jnp.float64, mesh=mesh)
+    sol8 = mgb.amgb(mgb.fem2d(L=3, backend=b8), p=1.0, tol=1e-7)
+    diff = np.abs(np.asarray(sol1.z) - np.asarray(sol8.z)).max()
+    # the reference's distributed-vs-native contract is tol*1000
+    # (test/test_quick.jl:137-140); reduction order differs across shardings
+    # and the p=1 problem is degenerate, so bit-exactness is not expected
+    assert diff < 1e-7 * 1000, diff
+
+
+@needs_8
+def test_fem2d_mgcg_parity_8dev():
+    mesh = make_mesh(8)
+    b1 = Backend(dtype=jnp.float64, dense_threshold=20)
+    b8 = Backend(dtype=jnp.float64, dense_threshold=20, mesh=mesh)
+    sol1 = mgb.amgb(mgb.fem2d(L=2, backend=b1), p=1.0, tol=1e-6)
+    sol8 = mgb.amgb(mgb.fem2d(L=2, backend=b8), p=1.0, tol=1e-6)
+    diff = np.abs(np.asarray(sol1.z) - np.asarray(sol8.z)).max()
+    assert diff < 1e-5, diff
+
+
+@needs_8
+def test_fem1d_solve_parity_4dev():
+    mesh = make_mesh(4)
+    sol1 = mgb.amgb(mgb.fem1d(L=3), p=2.0, tol=1e-7)
+    b4 = Backend(dtype=jnp.float64, mesh=mesh)
+    sol4 = mgb.amgb(mgb.fem1d(L=3, backend=b4), p=2.0, tol=1e-7)
+    diff = np.abs(np.asarray(sol1.z) - np.asarray(sol4.z)).max()
+    assert diff < 1e-8, diff
+
+
+@needs_8
+def test_graft_entry_dryrun():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    assert bool(jnp.isfinite(out[1]))
+    ge.dryrun_multichip(8)
