@@ -198,6 +198,7 @@ class _SolverCtx:
         x=None,
         cg_rtol: float = 1e-12,
         cg_maxiter: int = 400,
+        newton_cap: int = 50,
     ):
         self.geometry = geometry
         self.spec = spec
@@ -209,6 +210,7 @@ class _SolverCtx:
         self.linear_solver = linear_solver
         self.cg_rtol = cg_rtol
         self.cg_maxiter = cg_maxiter
+        self.newton_cap = newton_cap
 
         g = geometry
         self.levels = len(g.bases[subspace])
@@ -252,6 +254,7 @@ class _SolverCtx:
             self.c = be.shard_rows(self.c)
 
         self._steps = {}
+        self._loops = {}
         self._eval = self._build_eval()
 
     # -- jitted pieces ------------------------------------------------------
@@ -413,21 +416,100 @@ class _SolverCtx:
             alpha = jnp.where(accept(alpha, dphia), alpha, 0.0)
 
             dz = jnp.einsum("eqa,fea->eqf", rloc, dve).reshape(z.shape)
-            z_new = z + alpha * dz
+            # guard: with alpha == 0 (rejected step) dz may carry NaNs from
+            # a broken solve; 0 * NaN would corrupt z
+            z_new = jnp.where(alpha > 0, z + alpha * dz, z)
             dphi = jnp.where(alpha > 0, dphia, 0.0)
             return z_new, lam2, alpha, phi0, cy, dphi
 
-        return jax.jit(step)
+        return step
+
+    # Newton-loop stop codes (run_level return)
+    RUNNING, CONVERGED, LOCKED, STALLED, DIVERGED, CAPPED = 0, 1, 2, 3, 4, 5
+
+    def _build_loop(self, level: int):
+        """Jit the whole per-level Newton iteration: one device round-trip
+        per (t, level) instead of per Newton step (the tunnel/dispatch
+        latency would otherwise dominate on TPU — the reference's analogue
+        is one MPI collective sequence per iteration, SURVEY.md §3.4)."""
+        raw = self._build_step(level)
+        cap = self.newton_cap
+
+        def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2):
+            dtype = z0.dtype
+            tr0 = {
+                k: jnp.zeros(cap, dtype=dtype)
+                for k in ("lam2", "alpha", "phi", "dphi")
+            }
+            state0 = dict(
+                z=z0,
+                k=jnp.asarray(0, jnp.int32),
+                code=jnp.asarray(0, jnp.int32),
+                tr=tr0,
+            )
+
+            def cond(s):
+                return s["code"] == 0
+
+            def body(s):
+                z, k, tr = s["z"], s["k"], s["tr"]
+                z_new, lam2, alpha, phi0, cy, dphi = raw(
+                    Bs, idxs, embeds, rloc, x, w, c, z, t
+                )
+                tr = dict(
+                    lam2=tr["lam2"].at[k].set(lam2),
+                    alpha=tr["alpha"].at[k].set(alpha),
+                    phi=tr["phi"].at[k].set(phi0),
+                    dphi=tr["dphi"].at[k].set(dphi),
+                )
+                # stop conditions (see _path_follow for semantics)
+                nanv = ~jnp.isfinite(lam2)
+                locked = alpha == 0.0
+                conv = lam2 <= theta2
+                recent = jax.lax.dynamic_slice(tr["lam2"], (k - 3,), (4,))
+                prev4 = jax.lax.dynamic_slice(tr["lam2"], (k - 7,), (4,))
+                stall = (
+                    (k >= 7)
+                    & (jnp.min(recent) >= 0.9 * jnp.min(prev4))
+                )
+                capped = k + 1 >= cap
+                code = jnp.where(
+                    nanv,
+                    self.DIVERGED,
+                    jnp.where(
+                        locked,
+                        self.LOCKED,
+                        jnp.where(
+                            conv,
+                            self.CONVERGED,
+                            jnp.where(
+                                stall,
+                                self.STALLED,
+                                jnp.where(capped, self.CAPPED, self.RUNNING),
+                            ),
+                        ),
+                    ),
+                ).astype(jnp.int32)
+                return dict(z=z_new, k=k + 1, code=code, tr=tr)
+
+            s = jax.lax.while_loop(cond, body, state0)
+            return s["z"], s["k"], s["code"], s["tr"]
+
+        return jax.jit(loop)
+
+    def _level_args(self, level: int):
+        Bs = tuple(self._B[: level + 1])
+        idxs = tuple(b.idx for b in self._bases[: level + 1])
+        embeds = tuple(self._embeds[:level])
+        rloc = self._bases[level].rloc
+        return Bs, idxs, embeds, rloc
 
     # -- public -------------------------------------------------------------
 
     def step(self, level: int, z, t):
         if level not in self._steps:
-            self._steps[level] = self._build_step(level)
-        Bs = tuple(self._B[: level + 1])
-        idxs = tuple(b.idx for b in self._bases[: level + 1])
-        embeds = tuple(self._embeds[:level])
-        rloc = self._bases[level].rloc
+            self._steps[level] = jax.jit(self._build_step(level))
+        Bs, idxs, embeds, rloc = self._level_args(level)
         return self._steps[level](
             Bs,
             idxs,
@@ -439,6 +521,26 @@ class _SolverCtx:
             z,
             jnp.asarray(t, dtype=z.dtype),
         )
+
+    def run_level(self, level: int, z, t, theta2: float):
+        """Run the full Newton iteration at `level`; returns
+        (z, its, stop_code, traces) with one host sync."""
+        if level not in self._loops:
+            self._loops[level] = self._build_loop(level)
+        Bs, idxs, embeds, rloc = self._level_args(level)
+        z, its, code, tr = self._loops[level](
+            Bs,
+            idxs,
+            embeds,
+            rloc,
+            self.x,
+            self.w,
+            self.c,
+            z,
+            jnp.asarray(t, dtype=z.dtype),
+            jnp.asarray(theta2, dtype=z.dtype),
+        )
+        return z, int(its), int(code), jax.device_get(tr)
 
     def evaluate(self, z, t):
         return self._eval(self.x, self.w, self.c, z, jnp.asarray(t, dtype=z.dtype))
@@ -459,7 +561,6 @@ def _path_follow(
     theta: float,
     final_lam2: float,
     early_stop: Optional[Callable] = None,
-    newton_cap: int = 50,
     verbose: bool = False,
     logfile=None,
     phase: str = "main",
@@ -489,63 +590,36 @@ def _path_follow(
         for lvl in range(L):
             if lvl in frozen and lvl < L - 1:
                 continue
-            lam2 = np.inf
-            hist = []
-            locked = False
-            for _ in range(newton_cap):
-                z, lam2, alpha, phi, cy, dphi = ctx.step(lvl, z, t)
-                its[lvl] += 1
-                total += 1
-                l2 = float(lam2)
+            # the whole Newton iteration at this level runs inside one jit
+            # (stop-code semantics: CONVERGED lam2<=theta^2; LOCKED = line
+            # search certifies no measurable-progress step exists — at
+            # large t the margins (~1/t) sit at the f64 cancellation floor,
+            # a wall any double-precision implementation shares, so the
+            # iterate is centered to working precision; STALLED = decrement
+            # floor reached; DIVERGED/CAPPED = reject the t-step)
+            z, nits, code, tr = ctx.run_level(lvl, z, t, theta ** 2)
+            its[lvl] += nits
+            total += nits
+            for i in range(nits):
                 log.append(
                     dict(
                         phase=phase,
                         t=t,
                         level=lvl,
-                        lam2=l2,
-                        alpha=float(alpha),
-                        phi=float(phi),
-                        dphi=float(dphi),
+                        lam2=float(tr["lam2"][i]),
+                        alpha=float(tr["alpha"][i]),
+                        phi=float(tr["phi"][i]),
+                        dphi=float(tr["dphi"][i]),
                     )
                 )
-                if total > maxit:
-                    raise AMGBConvergenceFailure(
-                        f"amgb: exceeded maxit={maxit} Newton iterations"
-                    )
-                if not np.isfinite(l2):
-                    ok = False
-                    break
-                if float(alpha) == 0.0:
-                    # level locked: the line search certifies that no step
-                    # of any size yields measurable progress — at large t
-                    # the constraint margins (~1/t) sit at the f64
-                    # cancellation floor and the measured decrement is
-                    # noise (any double-precision implementation,
-                    # including the reference's MUMPS-backed one, hits the
-                    # same wall).  The iterate is centered to working
-                    # precision: accept, and freeze the level for larger t.
-                    locked = True
-                    frozen.add(lvl)
-                    break
-                if l2 <= theta ** 2:
-                    break
-                # f64-floor stall: at extreme barrier conditioning the
-                # linear solve (like any double-precision factorization,
-                # including the reference's MUMPS) cannot deliver a
-                # direction that contracts the decrement further.  Inside
-                # the damped-Newton region, accept the iterate as centered.
-                hist.append(l2)
-                if (
-                    l2 <= 0.25
-                    and len(hist) >= 8
-                    and min(hist[-4:]) >= 0.9 * min(hist[-8:-4])
-                ):
-                    break
-            else:
-                # newton_cap hit without reaching theta: treat as t-step
-                # failure and shrink the barrier step.
+            if total > maxit:
+                raise AMGBConvergenceFailure(
+                    f"amgb: exceeded maxit={maxit} Newton iterations"
+                )
+            if code == _SolverCtx.LOCKED:
+                frozen.add(lvl)
+            if code in (_SolverCtx.DIVERGED, _SolverCtx.CAPPED):
                 ok = False
-            if not ok:
                 break
 
         if not ok:
@@ -594,16 +668,10 @@ def _path_follow(
     # independent runs (1 vs N devices) agree to Newton tolerance
     # (the reference's 1e-10 MPI-vs-native invariant, test/test_quick.jl:137).
     if early_stop is None:
-        prev = np.inf
-        for _ in range(newton_cap):
-            z, lam2, alpha, phi, cy, dphi = ctx.step(L - 1, z, t)
-            its[L - 1] += 1
-            lam2f = float(lam2)
-            if not np.isfinite(lam2f):
-                break
-            if lam2f <= final_lam2 or lam2f >= prev * 0.9:
-                break
-            prev = lam2f
+        z_new, nits, code, tr = ctx.run_level(L - 1, z, t, final_lam2)
+        if code != _SolverCtx.DIVERGED:
+            z = z_new
+            its[L - 1] += nits
 
     t_elapsed = time.perf_counter() - t_start
     return z, PhaseLog(
@@ -726,6 +794,7 @@ def amgb(
             subspace=subspace,
             linear_solver=linear_solver,
             x=x,
+            newton_cap=newton_cap,
         )
 
         def feasible_now(z_aug):
@@ -744,7 +813,6 @@ def amgb(
             theta=0.25,
             final_lam2=tol,
             early_stop=feasible_now,
-            newton_cap=newton_cap,
             verbose=verbose,
             logfile=logfile,
             phase="feasibility",
@@ -763,6 +831,7 @@ def amgb(
         subspace=subspace,
         linear_solver=linear_solver,
         x=x,
+        newton_cap=newton_cap,
     )
     z, SOL_main, log2 = _path_follow(
         ctx2,
@@ -773,7 +842,6 @@ def amgb(
         maxit,
         theta=0.25,
         final_lam2=tol ** 2 * 100.0,
-        newton_cap=newton_cap,
         verbose=verbose,
         logfile=logfile,
         phase="main",
