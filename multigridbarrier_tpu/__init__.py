@@ -38,6 +38,22 @@ import jax as _jax
 # created.  On TPU, XLA emulates f64; the solver also supports f32.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: barrier solves compile one Newton-loop
+# kernel per multigrid level; caching across processes turns the 20-40s
+# per-kernel TPU compile into a disk hit on every run after the first.
+try:  # best effort — harmless if the backend doesn't support it
+    import os as _os
+
+    _cache_dir = _os.environ.get(
+        "MGB_COMPILE_CACHE", _os.path.expanduser("~/.cache/mgb_tpu_jax")
+    )
+    if _cache_dir:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover
+    pass
+
 from .backend import Backend, backend_auto, backend_cpu, backend_tpu  # noqa: E402
 from .fem import fem1d, fem2d, fem3d, Geometry  # noqa: E402
 from .solver import (  # noqa: E402
@@ -57,8 +73,14 @@ from .api import (  # noqa: E402
     device_to_native,
 )
 from .runtime import map_rows  # noqa: E402
+from .utils import io0, plot, plot_parabolic, save_solution, load_solution  # noqa: E402
 
 __all__ = [
+    "io0",
+    "plot",
+    "plot_parabolic",
+    "save_solution",
+    "load_solution",
     "Backend",
     "backend_auto",
     "backend_cpu",

@@ -111,10 +111,21 @@ def default_g(dim: int, dtype):
     return g
 
 
+_DEFAULT_Q_CACHE: dict = {}
+
+
 def default_Q(dim: int, p) -> Convex:
     # cone over (grad u, s): ||grad u||^p <= s ; rows 1..dim are the
     # gradient components, row dim+1 is s (see default_D).
-    return convex_Euclidian_power(idx=tuple(range(1, dim + 2)), p=p)
+    # Memoized so repeated amgb calls reuse the same barrier callable —
+    # jitted solver kernels are cached by barrier identity.
+    key = (dim, p) if isinstance(p, (int, float)) else None
+    if key is not None and key in _DEFAULT_Q_CACHE:
+        return _DEFAULT_Q_CACHE[key]
+    Q = convex_Euclidian_power(idx=tuple(range(1, dim + 2)), p=p)
+    if key is not None:
+        _DEFAULT_Q_CACHE[key] = Q
+    return Q
 
 
 # ----------------------------------------------------------------------------
@@ -466,12 +477,26 @@ class _SolverCtx:
                 nanv = ~jnp.isfinite(lam2)
                 locked = alpha == 0.0
                 conv = lam2 <= theta2
-                recent = jax.lax.dynamic_slice(tr["lam2"], (k - 3,), (4,))
-                prev4 = jax.lax.dynamic_slice(tr["lam2"], (k - 7,), (4,))
-                stall = (
-                    (k >= 7)
-                    & (jnp.min(recent) >= 0.9 * jnp.min(prev4))
+                # no-progress windows: a genuinely (even slowly) converging
+                # Newton shrinks lam2 by ~0.7-0.9x per step.  Two tiers:
+                # near-centered iterates (lam2 <= 4*theta2) accept on a
+                # short window; far-from-centered ones need the longer,
+                # stricter window before we concede the f64 floor —
+                # accepting those early costs final-solution accuracy.
+                recent3 = jax.lax.dynamic_slice(tr["lam2"], (k - 2,), (3,))
+                prev3 = jax.lax.dynamic_slice(tr["lam2"], (k - 5,), (3,))
+                stall_fast = (
+                    (k >= 5)
+                    & (lam2 <= 4.0 * theta2)
+                    & (jnp.min(recent3) >= 0.95 * jnp.min(prev3))
                 )
+                recent4 = jax.lax.dynamic_slice(tr["lam2"], (k - 3,), (4,))
+                prev4 = jax.lax.dynamic_slice(tr["lam2"], (k - 7,), (4,))
+                stall_slow = (
+                    (k >= 7)
+                    & (jnp.min(recent4) >= 0.9 * jnp.min(prev4))
+                )
+                stall = stall_fast | stall_slow
                 capped = k + 1 >= cap
                 code = jnp.where(
                     nanv,
@@ -690,6 +715,38 @@ def _path_follow(
 # ----------------------------------------------------------------------------
 
 
+def _get_ctx(geometry, spec, barrier, c, **kw):
+    """Geometry-attached _SolverCtx cache.
+
+    Jitted level kernels are closures over (spec, barrier); rebuilding them
+    per amgb call would re-trace and re-compile every level (painful on
+    TPU where a compile round-trips the tunnel).  Keyed by everything that
+    shapes the compiled graph; traced values (c, x contents, z) are
+    call-time arguments."""
+    cache = getattr(geometry, "_ctx_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(geometry, "_ctx_cache", cache)
+    x = kw.get("x")
+    key = (
+        spec,
+        barrier,
+        kw.get("subspace", "dirichlet"),
+        id(kw.get("linear_solver")),
+        kw.get("newton_cap", 50),
+        None if x is None else x.shape[1],
+    )
+    ctx = cache.get(key)
+    if ctx is None:
+        ctx = _SolverCtx(geometry, spec, barrier, c, **kw)
+        cache[key] = ctx
+    else:
+        ctx.c = c
+        if x is not None:
+            ctx.x = x if ctx.backend.mesh is None else ctx.backend.shard_rows(x)
+    return ctx
+
+
 def amgb(
     geometry: Geometry,
     *,
@@ -786,7 +843,7 @@ def amgb(
         def co_barrier(xi, ya):
             return Qset.cobarrier(xi, ya[: spec.k], ya[spec.k])
 
-        ctx1 = _SolverCtx(
+        ctx1 = _get_ctx(
             geometry,
             spec_aug,
             co_barrier,
@@ -823,7 +880,7 @@ def amgb(
         z = z_aug[:, : spec.nfields]
 
     # ---- Phase 2: main ------------------------------------------------------
-    ctx2 = _SolverCtx(
+    ctx2 = _get_ctx(
         geometry,
         spec,
         Qset.barrier,

@@ -82,8 +82,14 @@ def dense_assemble(sys_: LevelSystem, nf: int) -> jnp.ndarray:
     N = nf * (m + 1)
     fid = jnp.arange(nf)[None, :, None] * (m + 1) + idx[:, None, :]
     fid = fid.reshape(nelem, nf * nl)
-    H = jnp.zeros((N, N), dtype=He.dtype)
-    H = H.at[fid[:, :, None], fid[:, None, :]].add(He)
+    # flat 1-D segment-sum instead of a 2-D batched scatter: XLA:TPU
+    # compiles N x N advanced-index scatters pathologically slowly
+    # (hundreds of seconds even for tiny N), while 1-D segment sums are
+    # the same primitive the hot path already uses
+    flat_ids = (fid[:, :, None] * N + fid[:, None, :]).reshape(-1)
+    H = jax.ops.segment_sum(
+        He.reshape(-1), flat_ids, num_segments=N * N
+    ).reshape(N, N)
     padids = jnp.arange(nf) * (m + 1) + m
     return H.at[padids, padids].add(1.0)
 

@@ -1,0 +1,59 @@
+"""Utility-layer tests: plotting, save/load, io0, host conversion."""
+
+import os
+
+import numpy as np
+import pytest
+
+import multigridbarrier_tpu as mgb
+
+
+@pytest.fixture(scope="module")
+def sol_1d():
+    return mgb.fem1d_solve(L=2, p=1.0, tol=1e-5)
+
+
+def test_io0_stream(capsys):
+    print("hello", file=mgb.io0())
+    assert "hello" in capsys.readouterr().out
+
+
+def test_save_load_roundtrip(sol_1d, tmp_path):
+    f = str(tmp_path / "sol.npz")
+    mgb.save_solution(f, sol_1d)
+    back = mgb.load_solution(f)
+    np.testing.assert_array_equal(back["z"], np.asarray(sol_1d.z))
+    assert back["kind"] == "amgb"
+    assert back["main_its"].sum() == sol_1d.SOL_main.its.sum()
+
+
+def test_plot_1d(sol_1d, tmp_path):
+    f = str(tmp_path / "u.png")
+    mgb.plot(sol_1d, fname=f)
+    assert os.path.getsize(f) > 0
+
+
+def test_plot_2d(tmp_path):
+    sol = mgb.fem2d_solve(L=2, p=1.0, tol=1e-5)
+    f = str(tmp_path / "u2.png")
+    mgb.plot(sol, fname=f)
+    assert os.path.getsize(f) > 0
+
+
+def test_parabolic_save_plot(tmp_path):
+    psol = mgb.parabolic_solve(mgb.fem1d(L=2), h=0.5, t1=1.0, p=1.0, tol=1e-5)
+    f = str(tmp_path / "p.npz")
+    mgb.save_solution(f, psol)
+    back = mgb.load_solution(f)
+    assert back["kind"] == "parabolic"
+    assert len(back["ts"]) == 3
+    g = str(tmp_path / "p.png")
+    mgb.plot_parabolic(psol, fname=g)
+    assert os.path.getsize(g) > 0
+
+
+def test_device_to_native(sol_1d):
+    native = mgb.device_to_native(sol_1d)
+    assert isinstance(np.asarray(native.z), np.ndarray)
+    gn = mgb.device_to_native(sol_1d.geometry)
+    assert isinstance(gn.x, np.ndarray)
