@@ -101,7 +101,17 @@ class _Mesh:
     def __init__(self, verts: np.ndarray, tris: np.ndarray):
         self.verts = verts
         self.tris = tris
-        # edge table: sorted vertex pairs -> edge id
+        from ..runtime import native
+
+        res = native.tri_edge_tables(tris)
+        if res is not None:
+            tri_edges, edge_pairs, edge_count = res
+            self.tri_edges = tri_edges
+            self.edge_pairs = edge_pairs
+            self.n_edges = len(edge_pairs)
+            self.boundary_edges = np.nonzero(edge_count == 1)[0]
+            return
+        # pure-Python fallback: sorted vertex pairs -> edge id
         pairs = {}
         tri_edges = np.empty((len(tris), 3), dtype=np.int64)
         edge_count = {}

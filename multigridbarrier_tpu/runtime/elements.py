@@ -138,6 +138,20 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
         raise ValueError(f"rows {n} not a multiple of nq={nq}")
     nelem = n // nq
 
+    from . import native
+
+    res = native.csr_to_level_basis(
+        R.indptr, R.indices, R.data, nelem, nq, m,
+        dtype=np.dtype(dtype) if dtype is not None else R.dtype,
+    )
+    if res is not None:
+        idx_n, rloc_n, _ = res
+        return LevelBasis(
+            idx=jnp.asarray(idx_n.astype(itype, copy=False)),
+            rloc=jnp.asarray(rloc_n),
+            m=int(m),
+        )
+
     indptr, indices, data = R.indptr, R.indices, R.data
     # per-element column sets
     col_lists = []

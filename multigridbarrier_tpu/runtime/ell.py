@@ -110,11 +110,20 @@ def ell_from_scipy(A, width=None, dtype=None, itype=np.int32) -> Ell:
         if width < K:
             raise ValueError(f"width {width} < max row nnz {K}")
         K = width
-    cols = np.zeros((nrows, K), dtype=itype)
-    vals = np.zeros((nrows, K), dtype=dtype or A.dtype)
-    if A.nnz:
-        rowids = np.repeat(np.arange(nrows), counts)
-        offsets = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
-        cols[rowids, offsets] = A.indices
-        vals[rowids, offsets] = A.data
+    from . import native
+
+    res = native.csr_to_ell(
+        A.indptr, A.indices, A.data, nrows, K,
+        itype=itype, dtype=np.dtype(dtype or A.dtype),
+    )
+    if res is not None:
+        cols, vals = res
+    else:
+        cols = np.zeros((nrows, K), dtype=itype)
+        vals = np.zeros((nrows, K), dtype=dtype or A.dtype)
+        if A.nnz:
+            rowids = np.repeat(np.arange(nrows), counts)
+            offsets = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+            cols[rowids, offsets] = A.indices
+            vals[rowids, offsets] = A.data
     return Ell(cols=jnp.asarray(cols), vals=jnp.asarray(vals), shape=(nrows, ncols))
