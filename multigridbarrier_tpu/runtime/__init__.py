@@ -19,6 +19,22 @@ from .ell import Ell, ell_from_coo, ell_from_scipy
 from .blockdiag import BlockDiagOp
 from .elements import LevelBasis, level_basis_from_csr
 from .map_rows import map_rows
+from .ops import (
+    all_isfinite,
+    blockdiag,
+    clear_caches,
+    getcol,
+    hcat,
+    spdiagm,
+    transpose,
+    vcat,
+    zeros_like_operator,
+)
+
+# the reference distinguishes map_rows from map_rows_gpu (GPU-kernel row
+# map, src/MultiGridBarrierMPI.jl:165-170); under jit the same vmap code
+# path targets whatever backend the operands live on
+map_rows_gpu = map_rows
 
 __all__ = [
     "Ell",
@@ -28,4 +44,14 @@ __all__ = [
     "LevelBasis",
     "level_basis_from_csr",
     "map_rows",
+    "map_rows_gpu",
+    "hcat",
+    "vcat",
+    "blockdiag",
+    "spdiagm",
+    "transpose",
+    "getcol",
+    "all_isfinite",
+    "zeros_like_operator",
+    "clear_caches",
 ]
