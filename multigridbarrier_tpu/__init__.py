@@ -48,6 +48,13 @@ try:  # best effort — harmless if the backend doesn't support it
         "MGB_COMPILE_CACHE", _os.path.expanduser("~/.cache/mgb_tpu_jax")
     )
     if _cache_dir:
+        # partition by environment: executables compiled by a remote
+        # service target that machine's ISA; loading them into a local
+        # CPU process risks SIGILL
+        _cache_dir = _os.path.join(
+            _cache_dir,
+            "axon" if _os.environ.get("PALLAS_AXON_POOL_IPS") else "local",
+        )
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -266,6 +266,7 @@ class _SolverCtx:
 
         self._steps = {}
         self._loops = {}
+        self._warmed = False
         self._eval = self._build_eval()
 
     # -- jitted pieces ------------------------------------------------------
@@ -567,6 +568,31 @@ class _SolverCtx:
         )
         return z, int(its), int(code), jax.device_get(tr)
 
+    def warmup(self, z, t, theta2: float = 0.0625):
+        """Compile every level's Newton-loop kernel concurrently.
+
+        XLA compilation happens per level; issuing the first call of each
+        level from its own thread overlaps the compiles (the GIL is
+        released while XLA works), which matters when compilation is
+        remote/slow.  The discarded results cost a handful of redundant
+        Newton iterations of device time."""
+        if self._warmed:
+            return
+        self._warmed = True
+        import concurrent.futures as cf
+
+        levels = list(range(self.levels))
+        if len(levels) <= 1:
+            self.run_level(0, z, t, theta2)
+            return
+        with cf.ThreadPoolExecutor(max_workers=len(levels)) as ex:
+            futs = [
+                ex.submit(self.run_level, lvl, z, t, theta2)
+                for lvl in levels
+            ]
+            for f in futs:
+                f.result()
+
     def evaluate(self, z, t):
         return self._eval(self.x, self.w, self.c, z, jnp.asarray(t, dtype=z.dtype))
 
@@ -607,6 +633,7 @@ def _path_follow(
 
     converged = True
     frozen = set()  # levels that locked at an earlier t: skip henceforth
+    ctx.warmup(z, t, theta ** 2)
     while True:
         ts.append(t)
         z_backup = z
