@@ -632,7 +632,17 @@ def _path_follow(
             print(msg, file=logfile)
 
     converged = True
-    frozen = set()  # levels that locked at an earlier t: skip henceforth
+    locked_levels = set()  # levels locked at an earlier t: skip henceforth
+    # FMG-style sweeping: the full coarse-to-fine Newton sweep is what
+    # brings the initial iterate onto the central path cheaply; once
+    # path-following is underway the MG-CG preconditioner already carries
+    # the coarse-grid correction inside each fine linear solve, so coarse
+    # *Newton* sweeps are redundant work (and at large t actively harmful,
+    # see the lock semantics below).  After the first successful t-step we
+    # run the finest level only, re-enabling the full sweep as the first
+    # escalation if a t-step fails.
+    use_coarse = True
+    retry_stage = 0
     ctx.warmup(z, t, theta ** 2)
     while True:
         ts.append(t)
@@ -640,7 +650,7 @@ def _path_follow(
         its_backup = its.copy()
         ok = True
         for lvl in range(L):
-            if lvl in frozen and lvl < L - 1:
+            if lvl < L - 1 and (not use_coarse or lvl in locked_levels):
                 continue
             # the whole Newton iteration at this level runs inside one jit
             # (stop-code semantics: CONVERGED lam2<=theta^2; LOCKED = line
@@ -669,7 +679,7 @@ def _path_follow(
                     f"amgb: exceeded maxit={maxit} Newton iterations"
                 )
             if code == _SolverCtx.LOCKED:
-                frozen.add(lvl)
+                locked_levels.add(lvl)
             if code in (_SolverCtx.DIVERGED, _SolverCtx.CAPPED):
                 ok = False
                 break
@@ -679,15 +689,17 @@ def _path_follow(
             its = its_backup
             ts.pop()
             t_prev = ts[-1] if ts else t0
-            # escalation 1: drop the coarse sweep.  Late in the path the
-            # coarse subspaces cannot move without crossing fine-grid
-            # constraints, and their last useful step can leave the finest
-            # level wedged against the boundary — retry fine-only first.
-            if len(frozen) < L - 1:
-                frozen.update(range(L - 1))
+            retry_stage += 1
+            if retry_stage == 1:
+                # escalation 1: flip the sweep strategy for this t —
+                # fine-only runs get a rescue full sweep (nonlinearity the
+                # finest level can't absorb alone); full sweeps retry
+                # fine-only (late-path coarse steps can wedge the finest
+                # level against the boundary)
+                use_coarse = not use_coarse
                 emit(
                     f"[amgb:{phase}] step rejected; retrying t={t:.3e} "
-                    "with coarse levels frozen"
+                    f"with {'full sweep' if use_coarse else 'finest level only'}"
                 )
                 continue
             # escalation 2: adaptive barrier stepping — halve the step in
@@ -708,6 +720,10 @@ def _path_follow(
         emit(
             f"[amgb:{phase}] t={t:.4e} its={its.tolist()} c_dot_Dz={float(cy):.10e}"
         )
+        # FMG hand-off: from now on the finest level does the Newton work,
+        # coarse corrections ride inside its MG-CG preconditioner
+        use_coarse = False
+        retry_stage = 0
 
         if early_stop is not None and early_stop(z):
             break
