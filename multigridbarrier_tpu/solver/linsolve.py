@@ -95,7 +95,7 @@ def dense_assemble(sys_: LevelSystem, nf: int) -> jnp.ndarray:
 
 
 def dense_solve(
-    sys_: LevelSystem, nf: int, bp: jnp.ndarray, shifts=(0.0, 1e-13, 1e-10)
+    sys_: LevelSystem, nf: int, bp: jnp.ndarray, shifts=None
 ) -> jnp.ndarray:
     """Direct solve via dense Cholesky (no f64 LU on XLA:TPU; H is SPD).
 
@@ -109,6 +109,10 @@ def dense_solve(
     mirroring MUMPS' static pivot perturbation.
 
     bp: (nf, m+1) -> (nf, m+1)."""
+    if shifts is None:
+        # dtype-relative ladder: a shift below eps(dtype) does nothing
+        eps = float(jnp.finfo(bp.dtype).eps)
+        shifts = (0.0, 500 * eps, 50000 * eps)
     H0 = dense_assemble(sys_, nf)
     ii = jnp.arange(H0.shape[0])
     b = bp.reshape(-1)
