@@ -230,22 +230,27 @@ class _SolverCtx:
         self.ops = g.operators
         self.backend = g.backend
 
-        # Element-local operator tensors per level: B_l[:, :, j, :] is
-        # (D_{op_j} @ R_l) restricted to element e — a batched matmul of the
-        # per-element operator block with the local basis block.
+        # Element-local operator tensors per level, with the field
+        # embedding baked in: P_l[e, q, j, fj*nl + a] = (D_{op_j} R_l)
+        # restricted to element e.  With P, the Newton step's gradient /
+        # Hessian / direction all become single fused batched MXU
+        # contractions over the (q, j) axis (see _build_step) instead of a
+        # k^2/2 loop of small einsums.
         self._bases = g.bases[subspace]
         self._embeds = g.embed.get(subspace, ())
-        self._B = []
+        nf = spec.nfields
+        self._P = []
         for lvl in range(self.levels):
             rloc = self._bases[lvl].rloc  # (nelem, nq, nl)
-            cols = []
-            for (_, opname) in spec.entries:
+            nelem, nq, nl = rloc.shape
+            P = jnp.zeros((nelem, nq, spec.k, nf * nl), dtype=rloc.dtype)
+            for j, (fj, opname) in enumerate(spec.entries):
                 op = self.ops[opname]
-                if op.is_identity:
-                    cols.append(rloc)
-                else:
-                    cols.append(jnp.einsum("eqr,era->eqa", op.blocks, rloc))
-            self._B.append(jnp.stack(cols, axis=2))  # (nelem, nq, k, nl)
+                Bj = rloc if op.is_identity else jnp.einsum(
+                    "eqr,era->eqa", op.blocks, rloc
+                )
+                P = P.at[:, :, j, fj * nl : (fj + 1) * nl].set(Bj)
+            self._P.append(P)
 
         # GSPMD placement: element-batched tensors are sharded over the
         # 'dof' mesh axis (the reference's row-block MPI distribution,
@@ -253,7 +258,7 @@ class _SolverCtx:
         # segment-sum scatters lower to a local scatter + psum over ICI.
         be = self.backend
         if be.mesh is not None:
-            self._B = [be.shard_rows(B) for B in self._B]
+            self._P = [be.shard_rows(P) for P in self._P]
             self._bases = tuple(
                 dataclasses.replace(
                     b, idx=be.shard_rows(b.idx), rloc=be.shard_rows(b.rloc)
@@ -283,32 +288,15 @@ class _SolverCtx:
 
         return jax.jit(evaluate)
 
-    def _assemble_He(self, Bl, Y2w_e):
-        """Batched element Hessians (nelem, nf*nl, nf*nl) from the barrier
-        row Hessians Y2w_e (nelem, nq, k, k) — the reference's
+    @staticmethod
+    def _assemble_He(P, Y2w_e):
+        """Batched element Hessians (nelem, C, C), C = nf*nl, from the
+        barrier row Hessians Y2w_e (nelem, nq, k, k) — the reference's
         H = sum_{j,l} D_j' diag(w.*y_jl) D_l restricted per element
-        (test/test_map_rows_compare.jl:110-139), as k^2/2 batched MXU
-        contractions."""
-        spec = self.spec
-        nf, k = spec.nfields, spec.k
-        nelem, nq, _, nl = Bl.shape
-        He = jnp.zeros((nelem, nf * nl, nf * nl), dtype=Bl.dtype)
-        for j in range(k):
-            fj = spec.entries[j][0]
-            Bj = Bl[:, :, j, :]
-            for l in range(j, k):
-                fl = spec.entries[l][0]
-                Hjl = jnp.einsum(
-                    "eqa,eqb->eab", Bj * Y2w_e[:, :, j, l, None], Bl[:, :, l, :]
-                )
-                He = He.at[
-                    :, fj * nl : (fj + 1) * nl, fl * nl : (fl + 1) * nl
-                ].add(Hjl)
-                if l != j:
-                    He = He.at[
-                        :, fl * nl : (fl + 1) * nl, fj * nl : (fj + 1) * nl
-                    ].add(Hjl.transpose(0, 2, 1))
-        return He
+        (test/test_map_rows_compare.jl:110-139) as TWO fused batched MXU
+        contractions: He = P^T (Y2w ⊕ blockdiag over q) P."""
+        T = jnp.einsum("eqjl,eqlc->eqjc", Y2w_e, P)
+        return jnp.einsum("eqjc,eqjd->ecd", P, T)
 
     def _build_step(self, level: int):
         spec, barrier, ops = self.spec, self.barrier, self.ops
@@ -330,27 +318,22 @@ class _SolverCtx:
         sub_levels = list(range(level + 1))
         cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
 
-        def step(Bs, idxs, embeds, rloc, x, w, c, z, t):
-            # Bs/idxs: per-sublevel element tensors (finest = Bs[-1]).
-            Bl, idx = Bs[-1], idxs[-1]
-            nelem = Bl.shape[0]
+        def step(Ps, idxs, embeds, rloc, x, w, c, z, t):
+            # Ps/idxs: per-sublevel element tensors (finest = Ps[-1]).
+            Pl, idx = Ps[-1], idxs[-1]
+            nelem = Pl.shape[0]
             y = _apply_D(ops, spec, z)
             F0v = jax.vmap(barrier)(x, y)
             cy = jnp.sum(w * jnp.sum(c * y, axis=1))
             fy0 = _masked_wsum(w, F0v)
             phi0 = t * cy + fy0
 
-            # gradient rows, then element-local reduction + scatter
+            # gradient rows -> one fused contraction -> scatter
             F1v = jax.vmap(F1)(x, y)  # (n, k)
             gy = (w[:, None] * (t * c + F1v)).reshape(nelem, nq, k)
-            ge = jnp.zeros((nelem, nf, nl), dtype=z.dtype)
-            for j in range(k):
-                fj = spec.entries[j][0]
-                ge = ge.at[:, fj, :].add(
-                    jnp.einsum("eq,eqa->ea", gy[:, :, j], Bl[:, :, j, :])
-                )
+            gf = jnp.einsum("eqj,eqjc->ec", gy, Pl)  # (nelem, nf*nl)
             gv = jax.ops.segment_sum(
-                ge.transpose(0, 2, 1).reshape(-1, nf),
+                gf.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf),
                 idx.reshape(-1),
                 num_segments=m + 1,
             ).T  # (nf, m+1)
@@ -360,15 +343,15 @@ class _SolverCtx:
             Y2w = jax.vmap(F2)(x, y) * w[:, None, None]  # (n, k, k)
             Y2w_e = Y2w.reshape(nelem, nq, k, k)
             if use_dense:
-                systems = [LevelSystem(self._assemble_He(Bl, Y2w_e), idx, m)]
+                systems = [LevelSystem(self._assemble_He(Pl, Y2w_e), idx, m)]
             else:
                 systems = [
                     LevelSystem(
-                        self._assemble_He(Bs[i], Y2w_e),
+                        self._assemble_He(Ps[i], Y2w_e),
                         idxs[i],
                         self._bases[sub_levels[i]].m,
                     )
-                    for i in range(len(Bs))
+                    for i in range(len(Ps))
                 ]
 
             cg_iters = jnp.asarray(0, dtype=jnp.int32)
@@ -386,17 +369,10 @@ class _SolverCtx:
                 )
             lam2 = -jnp.vdot(gv, dvp)
 
-            # direction in Dz-space and broken space
+            # direction in Dz-space and broken space (fused contraction)
             dve = dvp[:, idx]  # (nf, nelem, nl)
-            dY = jnp.stack(
-                [
-                    jnp.einsum(
-                        "eqa,ea->eq", Bl[:, :, j, :], dve[spec.entries[j][0]]
-                    )
-                    for j in range(k)
-                ],
-                axis=2,
-            ).reshape(-1, k)
+            dve_flat = dve.transpose(1, 0, 2).reshape(nelem, nf * nl)
+            dY = jnp.einsum("eqjc,ec->eqj", Pl, dve_flat).reshape(-1, k)
             c_dY = jnp.sum(w * jnp.sum(c * dY, axis=1))
 
             lam = jnp.sqrt(jnp.maximum(lam2, 0.0))
@@ -524,20 +500,20 @@ class _SolverCtx:
         return jax.jit(loop)
 
     def _level_args(self, level: int):
-        Bs = tuple(self._B[: level + 1])
+        Ps = tuple(self._P[: level + 1])
         idxs = tuple(b.idx for b in self._bases[: level + 1])
         embeds = tuple(self._embeds[:level])
         rloc = self._bases[level].rloc
-        return Bs, idxs, embeds, rloc
+        return Ps, idxs, embeds, rloc
 
     # -- public -------------------------------------------------------------
 
     def step(self, level: int, z, t):
         if level not in self._steps:
             self._steps[level] = jax.jit(self._build_step(level))
-        Bs, idxs, embeds, rloc = self._level_args(level)
+        Ps, idxs, embeds, rloc = self._level_args(level)
         return self._steps[level](
-            Bs,
+            Ps,
             idxs,
             embeds,
             rloc,
@@ -553,9 +529,9 @@ class _SolverCtx:
         (z, its, stop_code, traces) with one host sync."""
         if level not in self._loops:
             self._loops[level] = self._build_loop(level)
-        Bs, idxs, embeds, rloc = self._level_args(level)
+        Ps, idxs, embeds, rloc = self._level_args(level)
         z, its, code, tr = self._loops[level](
-            Bs,
+            Ps,
             idxs,
             embeds,
             rloc,
