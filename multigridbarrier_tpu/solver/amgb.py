@@ -269,6 +269,9 @@ class _SolverCtx:
             self.w = be.shard_rows(self.w)
             self.c = be.shard_rows(self.c)
 
+        from ..runtime.pallas_kernels import pallas_enabled
+
+        self._use_pallas = pallas_enabled(geometry.x.dtype)
         self._steps = {}
         self._loops = {}
         self._warmed = False
@@ -288,13 +291,17 @@ class _SolverCtx:
 
         return jax.jit(evaluate)
 
-    @staticmethod
-    def _assemble_He(P, Y2w_e):
+    def _assemble_He(self, P, Y2w_e):
         """Batched element Hessians (nelem, C, C), C = nf*nl, from the
         barrier row Hessians Y2w_e (nelem, nq, k, k) — the reference's
         H = sum_{j,l} D_j' diag(w.*y_jl) D_l restricted per element
         (test/test_map_rows_compare.jl:110-139) as TWO fused batched MXU
-        contractions: He = P^T (Y2w ⊕ blockdiag over q) P."""
+        contractions: He = P^T (Y2w ⊕ blockdiag over q) P.  The f32 TPU
+        path can route through the fused Pallas kernel (MGB_PALLAS=1)."""
+        if self._use_pallas:
+            from ..runtime.pallas_kernels import assemble_he_pallas
+
+            return assemble_he_pallas(P, Y2w_e)
         T = jnp.einsum("eqjl,eqlc->eqjc", Y2w_e, P)
         return jnp.einsum("eqjc,eqjd->ecd", P, T)
 
