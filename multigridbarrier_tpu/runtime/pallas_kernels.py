@@ -26,27 +26,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _he_kernel(p_ref, w_ref, out_ref):
-    # p_ref: (BE, nq, k, C)  w_ref: (BE, nq, k, k)  out_ref: (BE, C, C)
-    BE, nq, k, C = p_ref.shape
-    P = p_ref[:]
-    W = w_ref[:]
-    # T[e,q,j,c] = sum_l W[e,q,j,l] P[e,q,l,c]
-    T = jax.lax.dot_general(
-        W.reshape(BE * nq, k, k),
-        P.reshape(BE * nq, k, C),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (BE*nq, k, C)
-    # He[e,c,d] = sum_{q,j} P[e,q,j,c] T[e,q,j,d]
-    Pm = P.reshape(BE, nq * k, C)
-    Tm = T.reshape(BE, nq * k, C)
-    out_ref[:] = jax.lax.dot_general(
-        Pm,
-        Tm,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+def _make_he_kernel(BE, nq, k, C):
+    def kernel(p_ref, w_ref, out_ref):
+        # p_ref: (BE, nq*k, C)  w_ref: (BE, nq, k*k)  out_ref: (BE, C, C)
+        # T[(q,j), c] = sum_l W[q, j*k+l] * P[(q,l), c] — unrolled over the
+        # static (j, l) pairs as VPU broadcasts; final P^T T on the MXU.
+        def body(e, _):
+            P = p_ref[e]  # (nq*k, C)
+            W = w_ref[e]  # (nq, k*k)
+            P3 = P.reshape(nq, k, C)
+            rows = []
+            for j in range(k):
+                acc = None
+                for l in range(k):
+                    term = W[:, j * k + l][:, None] * P3[:, l, :]
+                    acc = term if acc is None else acc + term
+                rows.append(acc)  # (nq, C)
+            # interleave back to (nq*k, C) with j fastest: T[q*k+j] = rows[j][q]
+            T = jnp.stack(rows, axis=1).reshape(nq * k, C)
+            out_ref[e] = jax.lax.dot_general(
+                P,
+                T,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, BE, body, 0)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
@@ -61,23 +69,25 @@ def assemble_he_pallas(P, Y2w_e, block_e: int = 32, interpret: bool = False):
     while nelem % be:
         be -= 1
     grid = (nelem // be,)
+    Pm = P.reshape(nelem, nq * k, C)
+    Wm = Y2w_e.reshape(nelem, nq, k * k)
     return pl.pallas_call(
-        _he_kernel,
+        _make_he_kernel(be, nq, k, C),
         out_shape=jax.ShapeDtypeStruct((nelem, C, C), P.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (be, nq, k, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (be, nq * k, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (be, nq, k, k), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (be, nq, k * k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (be, C, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(P, Y2w_e)
+    )(Pm, Wm)
 
 
 def pallas_enabled(dtype) -> bool:

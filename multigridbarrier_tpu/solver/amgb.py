@@ -562,12 +562,15 @@ class _SolverCtx:
         if self._warmed:
             return
         self._warmed = True
-        import concurrent.futures as cf
+        import os
 
         levels = list(range(self.levels))
-        if len(levels) <= 1:
-            self.run_level(0, z, t, theta2)
+        if len(levels) <= 1 or os.environ.get("MGB_SERIAL_WARMUP"):
+            for lvl in levels:
+                self.run_level(lvl, z, t, theta2)
             return
+        import concurrent.futures as cf
+
         with cf.ThreadPoolExecutor(max_workers=len(levels)) as ex:
             futs = [
                 ex.submit(self.run_level, lvl, z, t, theta2)
