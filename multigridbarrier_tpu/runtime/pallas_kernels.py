@@ -26,33 +26,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_he_kernel(BE, nq, k, C):
+def _make_he_kernel(nq, k, C, kk_p):
     def kernel(p_ref, w_ref, out_ref):
-        # p_ref: (BE, nq*k, C)  w_ref: (BE, nq, k*k)  out_ref: (BE, C, C)
-        # T[(q,j), c] = sum_l W[q, j*k+l] * P[(q,l), c] — unrolled over the
-        # static (j, l) pairs as VPU broadcasts; final P^T T on the MXU.
-        def body(e, _):
-            P = p_ref[e]  # (nq*k, C)
-            W = w_ref[e]  # (nq, k*k)
-            P3 = P.reshape(nq, k, C)
-            rows = []
-            for j in range(k):
-                acc = None
-                for l in range(k):
-                    term = W[:, j * k + l][:, None] * P3[:, l, :]
-                    acc = term if acc is None else acc + term
-                rows.append(acc)  # (nq, C)
-            # interleave back to (nq*k, C) with j fastest: T[q*k+j] = rows[j][q]
-            T = jnp.stack(rows, axis=1).reshape(nq * k, C)
-            out_ref[e] = jax.lax.dot_general(
-                P,
-                T,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        jax.lax.fori_loop(0, BE, body, 0)
+        # one element per program:
+        # p_ref: (1, k*nq, C) with contiguous per-j row blocks
+        # w_ref: (1, nq, kk_p);  out_ref: (1, C, C)
+        # He = sum_{j,l} (W[:, j*k+l] * P_j)^T @ P_l, unrolled over the
+        # static (j, l) pairs — VPU broadcasts + k^2 small MXU dots.
+        P = p_ref[0]  # (k*nq, C)
+        W = w_ref[0]  # (nq, k*k)
+        acc = jnp.zeros((C, C), dtype=jnp.float32)
+        for j in range(k):
+            Pj = P[j * nq : (j + 1) * nq, :]
+            for l in range(k):
+                Pl = P[l * nq : (l + 1) * nq, :]
+                wjl = W[:, j * k + l]
+                acc = acc + jax.lax.dot_general(
+                    Pj * wjl[:, None],
+                    Pl,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        out_ref[0] = acc
 
     return kernel
 
@@ -65,29 +60,39 @@ def assemble_he_pallas(P, Y2w_e, block_e: int = 32, interpret: bool = False):
     -> (nelem, C, C) f32.  nelem must be divisible by block_e (the callers
     pad element counts; fall back to XLA otherwise)."""
     nelem, nq, k, C = P.shape
-    be = min(block_e, nelem)
-    while nelem % be:
-        be -= 1
-    grid = (nelem // be,)
-    Pm = P.reshape(nelem, nq * k, C)
-    Wm = Y2w_e.reshape(nelem, nq, k * k)
-    return pl.pallas_call(
-        _make_he_kernel(be, nq, k, C),
+    del block_e  # one element per program (grid-parallel)
+    # Mosaic wants (8, 128)-aligned f32 tiles: pad the quadrature axis to a
+    # sublane multiple and the coefficient axis to the lane width.  The
+    # padded rows/cols are zero, so they contribute nothing to the dots.
+    nq_p = -(-nq // 8) * 8
+    C_p = -(-C // 128) * 128
+    kk_p = -(-(k * k) // 128) * 128
+    # contiguous per-j row blocks: (nelem, k, nq, C) -> (nelem, k*nq_p, C_p)
+    Pm = jnp.zeros((nelem, k, nq_p, C_p), dtype=P.dtype)
+    Pm = Pm.at[:, :, :nq, :C].set(P.transpose(0, 2, 1, 3))
+    Pm = Pm.reshape(nelem, k * nq_p, C_p)
+    Wm = jnp.zeros((nelem, nq_p, kk_p), dtype=P.dtype)
+    Wm = Wm.at[:, :nq, : k * k].set(Y2w_e.reshape(nelem, nq, k * k))
+    nq, C_out = nq_p, C
+    C = C_p
+    out = pl.pallas_call(
+        _make_he_kernel(nq, k, C, kk_p),
         out_shape=jax.ShapeDtypeStruct((nelem, C, C), P.dtype),
-        grid=grid,
+        grid=(nelem,),
         in_specs=[
             pl.BlockSpec(
-                (be, nq * k, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, k * nq, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (be, nq, k * k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nq, kk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (be, C, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, C, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(Pm, Wm)
+    return out[:, :C_out, :C_out]
 
 
 def pallas_enabled(dtype) -> bool:
