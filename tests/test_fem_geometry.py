@@ -118,3 +118,19 @@ def test_fem2d_dirichlet_boundary():
     vals = abs(R[on_boundary]).max() if on_boundary.any() else 0.0
     assert on_boundary.any()
     assert vals < 1e-12
+
+
+def test_fem2d_custom_K():
+    # reference K format: (3*nt, 2) triangle vertex matrix
+    # (docs/src/guide.md:317)
+    K = np.array(
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 0.0], [2.0, 1.0], [0.0, 1.0]]
+    )
+    g = fem2d(L=2, K=K)
+    assert g.n == 56
+    assert abs(np.asarray(g.w).sum() - 2.0) < 1e-12
+    # nesting still holds on the custom mesh
+    R1 = g.subspaces["dirichlet"][0].to_scipy()
+    R2 = g.subspaces["dirichlet"][1].to_scipy()
+    E = g.embed["dirichlet"][0].to_scipy()
+    assert abs(R2 @ E - R1).max() < 1e-12
