@@ -434,7 +434,7 @@ class _SolverCtx:
             dtype = z0.dtype
             tr0 = {
                 k: jnp.zeros(cap, dtype=dtype)
-                for k in ("lam2", "alpha", "phi", "dphi")
+                for k in ("lam2", "alpha", "phi", "dphi", "cy")
             }
             state0 = dict(
                 z=z0,
@@ -456,6 +456,7 @@ class _SolverCtx:
                     alpha=tr["alpha"].at[k].set(alpha),
                     phi=tr["phi"].at[k].set(phi0),
                     dphi=tr["dphi"].at[k].set(dphi),
+                    cy=tr["cy"].at[k].set(cy),
                 )
                 # stop conditions (see _path_follow for semantics)
                 nanv = ~jnp.isfinite(lam2)
@@ -701,10 +702,14 @@ def _path_follow(
             emit(f"[amgb:{phase}] step rejected; kappa -> {kap:.3f}, retry t={t:.3e}")
             continue
 
-        _, cy = ctx.evaluate(z, t)
-        c_dots.append(float(cy))
+        # c.Dz at the last Newton evaluation of this t (the reference's
+        # per-t c_dot_Dz log field; avoids an extra device round-trip)
+        cy_last = float(tr["cy"][max(nits - 1, 0)]) if nits else float(
+            ctx.evaluate(z, t)[1]
+        )
+        c_dots.append(cy_last)
         emit(
-            f"[amgb:{phase}] t={t:.4e} its={its.tolist()} c_dot_Dz={float(cy):.10e}"
+            f"[amgb:{phase}] t={t:.4e} its={its.tolist()} c_dot_Dz={cy_last:.10e}"
         )
         # FMG hand-off: from now on the finest level does the Newton work,
         # coarse corrections ride inside its MG-CG preconditioner
