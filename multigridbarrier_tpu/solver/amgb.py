@@ -209,7 +209,7 @@ class _SolverCtx:
         x=None,
         cg_rtol: float = 1e-12,
         cg_maxiter: int = 400,
-        newton_cap: int = 50,
+        newton_cap: int = 200,
     ):
         self.geometry = geometry
         self.spec = spec
@@ -462,26 +462,28 @@ class _SolverCtx:
                 nanv = ~jnp.isfinite(lam2)
                 locked = alpha == 0.0
                 conv = lam2 <= theta2
-                # no-progress windows: a genuinely (even slowly) converging
-                # Newton shrinks lam2 by ~0.7-0.9x per step.  Two tiers:
-                # near-centered iterates (lam2 <= 4*theta2) accept on a
-                # short window; far-from-centered ones need the longer,
-                # stricter window before we concede the f64 floor —
-                # accepting those early costs final-solution accuracy.
+                # Stall detection must respect the two Newton regimes:
+                # * quadratic region (lam2 <= 0.25): exact Newton contracts
+                #   lam2 geometrically, so a plateau there means the
+                #   arithmetic floor — accept as centered.
+                # * damped region (lam2 > 0.25): lam2 routinely plateaus
+                #   while phi decreases by the guaranteed O(1) per step —
+                #   NEVER accept on a lam2 plateau (doing so abandons the
+                #   iterate far from the central path and silently returns
+                #   wrong solutions).  There, only a phi-progress floor
+                #   (decrease at the |phi|*eps noise level) counts.
                 recent3 = jax.lax.dynamic_slice(tr["lam2"], (k - 2,), (3,))
                 prev3 = jax.lax.dynamic_slice(tr["lam2"], (k - 5,), (3,))
-                stall_fast = (
+                stall_quad = (
                     (k >= 5)
-                    & (lam2 <= 4.0 * theta2)
+                    & (lam2 <= 0.25)
                     & (jnp.min(recent3) >= 0.95 * jnp.min(prev3))
                 )
-                recent4 = jax.lax.dynamic_slice(tr["lam2"], (k - 3,), (4,))
-                prev4 = jax.lax.dynamic_slice(tr["lam2"], (k - 7,), (4,))
-                stall_slow = (
-                    (k >= 7)
-                    & (jnp.min(recent4) >= 0.9 * jnp.min(prev4))
-                )
-                stall = stall_fast | stall_slow
+                eps = jnp.asarray(jnp.finfo(z0.dtype).eps, dtype=z0.dtype)
+                dphi3 = jax.lax.dynamic_slice(tr["dphi"], (k - 2,), (3,))
+                floor = 64.0 * eps * (jnp.abs(phi0) + 1.0)
+                stall_floor = (k >= 2) & (jnp.max(jnp.abs(dphi3)) <= floor)
+                stall = stall_quad | stall_floor
                 capped = k + 1 >= cap
                 code = jnp.where(
                     nanv,
@@ -797,7 +799,7 @@ def amgb(
     logfile=None,
     subspace: str = "dirichlet",
     linear_solver: Optional[Callable] = None,
-    newton_cap: int = 50,
+    newton_cap: int = 200,
     aux=None,
     z0=None,
     **_ignored,
@@ -861,14 +863,19 @@ def amgb(
             converged=True,
         )
     else:
-        # Augmented problem: extra field e, D row ('_e','id'),
-        # objective sum w*e, barrier = cobarrier.
+        # Augmented ("combined phase-1") problem: extra field e with D row
+        # ('_e','id'), objective sum w*(c.Dz + M*e), barrier = cobarrier.
+        # Keeping the original cost is essential: with a cost on e alone the
+        # phase-1 objective is UNBOUNDED BELOW (the barrier's -log(s) terms
+        # reward sending slack fields to infinity at zero cost) and Newton
+        # descends forever.  M makes infeasibility-reduction dominate.
         spec_aug = DSpec(
             entries=spec.entries + ((spec.nfields, "id"),),
             fieldnames=spec.fieldnames + ("_feas_slack",),
         )
+        M = 10.0 * (1.0 + float(jnp.max(jnp.abs(c))))
         c_aug = jnp.concatenate(
-            [jnp.zeros_like(c), jnp.ones((c.shape[0], 1), dtype=dtype)], axis=1
+            [c, jnp.full((c.shape[0], 1), M, dtype=dtype)], axis=1
         )
         e0 = jax.vmap(Qset.slack)(x, y0)
         # lift uniformly so e is comfortably interior pointwise
