@@ -39,7 +39,7 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "rloc"],
+    data_fields=["idx", "rloc", "scatter_idx"],
     meta_fields=["m"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -51,11 +51,17 @@ class LevelBasis:
     rloc: (nelem, nq, nl) — value of local basis function a at broken point
           q of element e.  Padded columns are 0.
     m:    number of real subspace dofs (static).
+    scatter_idx: (m+1, width) int32 — the scatter->gather duality table:
+          row a lists the flat positions e*nl + slot with idx[e, slot] == a,
+          padded with nelem*nl (a zero sentinel row).  Adjoint applications
+          become gathers + small sums — TPU scatters with duplicate indices
+          serialize and dominate the runtime otherwise.
     """
 
     idx: jnp.ndarray
     rloc: jnp.ndarray
     m: int
+    scatter_idx: jnp.ndarray = None
 
     @property
     def nelem(self) -> int:
@@ -92,6 +98,22 @@ class LevelBasis:
         out = out.reshape(self.n, v.shape[1])
         return out[:, 0] if single else out
 
+    def scatter_add(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """Sum per-(element, slot) contributions into nodes: (nelem*nl, f)
+        -> (m+1, f) with a zeroed pad row.  Uses the precomputed
+        gather table when available (scatter-free; TPU scatters with
+        duplicate indices serialize), else segment_sum."""
+        if self.scatter_idx is not None:
+            padded = jnp.concatenate(
+                [flat, jnp.zeros((1, flat.shape[1]), dtype=flat.dtype)], axis=0
+            )
+            out = jnp.sum(padded[self.scatter_idx], axis=1)  # (m+1, f)
+        else:
+            out = jax.ops.segment_sum(
+                flat, self.idx.reshape(-1), num_segments=self.m + 1
+            )
+        return out.at[self.m].set(0.0)
+
     def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
         """R.T @ y for y: (n,) or (n, f) -> (m,) or (m, f)."""
         single = y.ndim == 1
@@ -100,9 +122,7 @@ class LevelBasis:
         ye = y.reshape(self.nelem, self.nq, y.shape[1])
         contrib = jnp.einsum("eqa,eqf->eaf", self.rloc, ye)
         flat = contrib.reshape(self.nelem * self.nl, y.shape[1])
-        out = jax.ops.segment_sum(
-            flat, self.idx.reshape(-1), num_segments=self.m + 1
-        )[: self.m]
+        out = self.scatter_add(flat)[: self.m]
         return out[:, 0] if single else out
 
     def to_scipy(self):
@@ -120,7 +140,32 @@ class LevelBasis:
         )
 
     def astype(self, dtype) -> "LevelBasis":
-        return LevelBasis(idx=self.idx, rloc=self.rloc.astype(dtype), m=self.m)
+        return LevelBasis(
+            idx=self.idx,
+            rloc=self.rloc.astype(dtype),
+            m=self.m,
+            scatter_idx=self.scatter_idx,
+        )
+
+
+def scatter_table(idx: np.ndarray, m: int) -> np.ndarray:
+    """Build the node-major gather table for scatter_add: row a lists the
+    flat positions e*nl + slot with idx[e, slot] == a, padded with
+    nelem*nl (points at an appended zero row)."""
+    idx = np.asarray(idx)
+    nelem, nl = idx.shape
+    flat = idx.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sorted_ids = flat[order]
+    counts = np.bincount(sorted_ids, minlength=m + 1)
+    width = int(counts.max()) if counts.size else 1
+    table = np.full((m + 1, width), nelem * nl, dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for a in range(m + 1):
+        c = counts[a]
+        if c:
+            table[a, :c] = order[starts[a] : starts[a] + c]
+    return table
 
 
 def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
@@ -150,6 +195,7 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
             idx=jnp.asarray(idx_n.astype(itype, copy=False)),
             rloc=jnp.asarray(rloc_n),
             m=int(m),
+            scatter_idx=jnp.asarray(scatter_table(idx_n, int(m))),
         )
 
     indptr, indices, data = R.indptr, R.indices, R.data
@@ -173,5 +219,8 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
                 rloc[e, q, pos[indices[k]]] += data[k]
 
     return LevelBasis(
-        idx=jnp.asarray(idx), rloc=jnp.asarray(rloc), m=int(m)
+        idx=jnp.asarray(idx),
+        rloc=jnp.asarray(rloc),
+        m=int(m),
+        scatter_idx=jnp.asarray(scatter_table(idx, int(m))),
     )

@@ -261,7 +261,10 @@ class _SolverCtx:
             self._P = [be.shard_rows(P) for P in self._P]
             self._bases = tuple(
                 dataclasses.replace(
-                    b, idx=be.shard_rows(b.idx), rloc=be.shard_rows(b.rloc)
+                    b,
+                    idx=be.shard_rows(b.idx),
+                    rloc=be.shard_rows(b.rloc),
+                    scatter_idx=be.replicate(b.scatter_idx),
                 )
                 for b in self._bases
             )
@@ -325,9 +328,10 @@ class _SolverCtx:
         sub_levels = list(range(level + 1))
         cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
 
-        def step(Ps, idxs, embeds, rloc, x, w, c, z, t):
-            # Ps/idxs: per-sublevel element tensors (finest = Ps[-1]).
-            Pl, idx = Ps[-1], idxs[-1]
+        def step(Ps, bases, embeds, rloc, x, w, c, z, t):
+            # Ps/bases: per-sublevel element tensors (finest = Ps[-1]).
+            Pl, idx = Ps[-1], bases[-1].idx
+            scat = bases[-1].scatter_idx
             nelem = Pl.shape[0]
             y = _apply_D(ops, spec, z)
             F0v = jax.vmap(barrier)(x, y)
@@ -339,24 +343,24 @@ class _SolverCtx:
             F1v = jax.vmap(F1)(x, y)  # (n, k)
             gy = (w[:, None] * (t * c + F1v)).reshape(nelem, nq, k)
             gf = jnp.einsum("eqj,eqjc->ec", gy, Pl)  # (nelem, nf*nl)
-            gv = jax.ops.segment_sum(
-                gf.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf),
-                idx.reshape(-1),
-                num_segments=m + 1,
-            ).T  # (nf, m+1)
-            gv = gv.at[:, m].set(0.0)
+            gv = bases[-1].scatter_add(
+                gf.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
+            ).T  # (nf, m+1), pad row zeroed
 
             # element Hessians at every sub-level (shared row Hessians)
             Y2w = jax.vmap(F2)(x, y) * w[:, None, None]  # (n, k, k)
             Y2w_e = Y2w.reshape(nelem, nq, k, k)
             if use_dense:
-                systems = [LevelSystem(self._assemble_He(Pl, Y2w_e), idx, m)]
+                systems = [
+                    LevelSystem(self._assemble_He(Pl, Y2w_e), idx, m, scat)
+                ]
             else:
                 systems = [
                     LevelSystem(
                         self._assemble_He(Ps[i], Y2w_e),
-                        idxs[i],
+                        bases[i].idx,
                         self._bases[sub_levels[i]].m,
+                        bases[i].scatter_idx,
                     )
                     for i in range(len(Ps))
                 ]
@@ -511,10 +515,10 @@ class _SolverCtx:
 
     def _level_args(self, level: int):
         Ps = tuple(self._P[: level + 1])
-        idxs = tuple(b.idx for b in self._bases[: level + 1])
+        bases = tuple(self._bases[: level + 1])
         embeds = tuple(self._embeds[:level])
         rloc = self._bases[level].rloc
-        return Ps, idxs, embeds, rloc
+        return Ps, bases, embeds, rloc
 
     # -- public -------------------------------------------------------------
 

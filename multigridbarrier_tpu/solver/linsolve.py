@@ -36,40 +36,58 @@ class LevelSystem(NamedTuple):
     He:  (nelem, nf*nl, nf*nl) per-element Hessian blocks
     idx: (nelem, nl) global node ids (pad slot = m)
     m:   static subspace size
+    scatter_idx: (m+1, width) node-major gather table (see
+        runtime/elements.py scatter_table), or None to fall back to
+        segment_sum.  TPU scatters with duplicate indices serialize, so
+        the gather form is the difference between micro- and milliseconds
+        per H@v.
     """
 
     He: jnp.ndarray
     idx: jnp.ndarray
     m: int
+    scatter_idx: jnp.ndarray = None
+
+
+def _node_sum(sys_: LevelSystem, flat: jnp.ndarray) -> jnp.ndarray:
+    """(nelem*nl, f) per-slot contributions -> (m+1, f), zero pad row."""
+    if sys_.scatter_idx is not None:
+        padded = jnp.concatenate(
+            [flat, jnp.zeros((1, flat.shape[1]), dtype=flat.dtype)], axis=0
+        )
+        out = jnp.sum(padded[sys_.scatter_idx], axis=1)
+    else:
+        out = jax.ops.segment_sum(
+            flat, sys_.idx.reshape(-1), num_segments=sys_.m + 1
+        )
+    return out.at[sys_.m].set(0.0)
 
 
 def hvp(sys_: LevelSystem, vp: jnp.ndarray) -> jnp.ndarray:
-    """H @ v, matrix-free: gather -> batched matmul -> segment-sum scatter.
+    """H @ v, matrix-free: gather -> batched matmul -> gather-table sum.
 
     vp: (nf, m+1) padded field-major coefficients; returns same shape with a
     zero pad slot.  This is the entire SpMV of the reference's Newton solve
     (SURVEY.md §3.5) as three XLA ops.
     """
-    He, idx, m = sys_
+    He, idx, m = sys_.He, sys_.idx, sys_.m
     nelem, nl = idx.shape
     nf = vp.shape[0]
     ve = vp[:, idx]  # (nf, nelem, nl)
     ve = ve.transpose(1, 0, 2).reshape(nelem, nf * nl)
     hve = jnp.einsum("eab,eb->ea", He, ve)
     flat = hve.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
-    out = jax.ops.segment_sum(flat, idx.reshape(-1), num_segments=m + 1)
-    out = out.T  # (nf, m+1)
-    return out.at[:, m].set(0.0)
+    return _node_sum(sys_, flat).T
 
 
 def diag_of(sys_: LevelSystem) -> jnp.ndarray:
     """diag(H) as (nf, m+1); pad slot set to 1 (harmless inverse)."""
-    He, idx, m = sys_
+    He, idx, m = sys_.He, sys_.idx, sys_.m
     nelem, nl = idx.shape
     nf = He.shape[1] // nl
     d = jnp.diagonal(He, axis1=1, axis2=2).reshape(nelem, nf, nl)
     flat = d.transpose(0, 2, 1).reshape(-1, nf)
-    out = jax.ops.segment_sum(flat, idx.reshape(-1), num_segments=m + 1).T
+    out = _node_sum(sys_, flat).T
     return out.at[:, m].set(1.0)
 
 
@@ -77,7 +95,7 @@ def dense_assemble(sys_: LevelSystem, nf: int) -> jnp.ndarray:
     """Scatter element Hessians into the global dense matrix of size
     N = nf*(m+1), with identity on pad rows (their He entries are zero by
     construction, so this keeps the matrix SPD)."""
-    He, idx, m = sys_
+    He, idx, m = sys_.He, sys_.idx, sys_.m
     nelem, nl = idx.shape
     N = nf * (m + 1)
     fid = jnp.arange(nf)[None, :, None] * (m + 1) + idx[:, None, :]
