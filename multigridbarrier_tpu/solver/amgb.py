@@ -325,7 +325,12 @@ class _SolverCtx:
             or nf * m <= self.backend.dense_threshold
             or level == 0
         )
-        sub_levels = list(range(level + 1))
+        # MG-CG hierarchy depth: a 3-level cycle (Chebyshev on the top two,
+        # exact dense solve two levels down at 1/16 the dofs) preconditions
+        # as strongly as the full hierarchy here, and every extra level
+        # adds fixed per-op latency to EVERY cycle application
+        mg_depth = 3
+        sub_levels = list(range(max(0, level - (mg_depth - 1)), level + 1))
         cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
 
         def step(Ps, bases, embeds, rloc, x, w, c, z, t):
@@ -351,18 +356,15 @@ class _SolverCtx:
             Y2w = jax.vmap(F2)(x, y) * w[:, None, None]  # (n, k, k)
             Y2w_e = Y2w.reshape(nelem, nq, k, k)
             if use_dense:
-                systems = [
-                    LevelSystem(self._assemble_He(Pl, Y2w_e), idx, m, scat)
-                ]
+                systems = [LevelSystem(self._assemble_He(Pl, Y2w_e), idx, m)]
             else:
                 systems = [
                     LevelSystem(
-                        self._assemble_He(Ps[i], Y2w_e),
-                        bases[i].idx,
-                        self._bases[sub_levels[i]].m,
-                        bases[i].scatter_idx,
+                        self._assemble_He(Ps[sl], Y2w_e),
+                        bases[sl].idx,
+                        self._bases[sl].m,
                     )
-                    for i in range(len(Ps))
+                    for sl in sub_levels
                 ]
 
             cg_iters = jnp.asarray(0, dtype=jnp.int32)
@@ -376,7 +378,12 @@ class _SolverCtx:
                 dvp = dense_solve(systems[-1], nf, -gv)
             else:
                 dvp, cg_iters, _ = mgcg_solve(
-                    systems, embeds, -gv, nf, rtol=cg_rtol, maxiter=cg_maxiter
+                    systems,
+                    embeds[sub_levels[0] :],
+                    -gv,
+                    nf,
+                    rtol=cg_rtol,
+                    maxiter=cg_maxiter,
                 )
             lam2 = -jnp.vdot(gv, dvp)
 

@@ -298,7 +298,12 @@ def mgcg_solve(
     fine = systems[-1]
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
-    lmaxs = [lambda_max_est(s, d) for s, d in zip(systems, dinvs)]
+    # level 0 is solved directly inside the cycle: no smoother there, so
+    # skip its eigenvalue estimate (each estimate costs `iters` H@v's)
+    lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)] + [
+        lambda_max_est(s, d, iters=8)
+        for s, d in zip(systems[1:], dinvs[1:])
+    ]
     coarse_cf = jax.scipy.linalg.cho_factor(dense_assemble(systems[0], nf))
 
     sh = jnp.asarray(shift, dtype=bp.dtype)
