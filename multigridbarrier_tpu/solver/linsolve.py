@@ -167,7 +167,7 @@ def dense_solve(
 # ----------------------------------------------------------------------------
 
 
-def lambda_max_est(sys_: LevelSystem, dinv, iters: int = 12) -> jnp.ndarray:
+def lambda_max_est(sys_: LevelSystem, dinv, iters: int = 6) -> jnp.ndarray:
     """Estimate lambda_max(D^-1 H) by power iteration (deterministic start).
 
     Barrier Hessians have unbounded dynamic range along the central path
@@ -193,7 +193,7 @@ def lambda_max_est(sys_: LevelSystem, dinv, iters: int = 12) -> jnp.ndarray:
 
 
 def chebyshev(
-    sys_: LevelSystem, dinv, lmax, xp, bp, degree: int = 4, ratio: float = 8.0
+    sys_: LevelSystem, dinv, lmax, xp, bp, degree: int = 3, ratio: float = 8.0
 ):
     """Chebyshev-Jacobi smoothing on [lmax/ratio, lmax] (Saad 3rd ed.,
     Alg. 12.1 adapted to a preconditioned operator).  A polynomial in
@@ -228,7 +228,7 @@ def vcycle(
     coarse_cf,
     bp: jnp.ndarray,
     nf: int,
-    degree: int = 4,
+    degree: int = 3,
 ) -> jnp.ndarray:
     """One V-cycle with Chebyshev-Jacobi smoothing on the finest of
     `systems`.
@@ -270,7 +270,7 @@ def mgcg_solve(
     nf: int,
     rtol: float = 1e-10,
     maxiter: int = 200,
-    degree: int = 4,
+    degree: int = 3,
     shift: float = 0.0,
     stagnation: int = 12,
 ):
@@ -301,7 +301,7 @@ def mgcg_solve(
     # level 0 is solved directly inside the cycle: no smoother there, so
     # skip its eigenvalue estimate (each estimate costs `iters` H@v's)
     lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)] + [
-        lambda_max_est(s, d, iters=8)
+        lambda_max_est(s, d, iters=6)
         for s, d in zip(systems[1:], dinvs[1:])
     ]
     coarse_cf = jax.scipy.linalg.cho_factor(dense_assemble(systems[0], nf))
