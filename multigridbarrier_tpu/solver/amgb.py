@@ -333,7 +333,9 @@ class _SolverCtx:
         sub_levels = list(range(max(0, level - (mg_depth - 1)), level + 1))
         cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
 
-        def step(Ps, bases, embeds, rloc, x, w, c, z, t):
+        n_smooth = max(1, len(sub_levels) - 1)
+
+        def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs):
             # Ps/bases: per-sublevel element tensors (finest = Ps[-1]).
             Pl, idx = Ps[-1], bases[-1].idx
             scat = bases[-1].scatter_idx
@@ -368,6 +370,7 @@ class _SolverCtx:
                 ]
 
             cg_iters = jnp.asarray(0, dtype=jnp.int32)
+            lmaxs_new = lmaxs
             if custom_solve is not None:
                 from .linsolve import dense_assemble
 
@@ -377,13 +380,14 @@ class _SolverCtx:
             elif use_dense:
                 dvp = dense_solve(systems[-1], nf, -gv)
             else:
-                dvp, cg_iters, _ = mgcg_solve(
+                dvp, cg_iters, _, lmaxs_new = mgcg_solve(
                     systems,
                     embeds[sub_levels[0] :],
                     -gv,
                     nf,
                     rtol=cg_rtol,
                     maxiter=cg_maxiter,
+                    lmaxs_in=lmaxs,
                 )
             lam2 = -jnp.vdot(gv, dvp)
 
@@ -426,8 +430,9 @@ class _SolverCtx:
             # a broken solve; 0 * NaN would corrupt z
             z_new = jnp.where(alpha > 0, z + alpha * dz, z)
             dphi = jnp.where(alpha > 0, dphia, 0.0)
-            return z_new, lam2, alpha, phi0, cy, dphi
+            return z_new, lam2, alpha, phi0, cy, dphi, lmaxs_new
 
+        step.n_smooth = n_smooth
         return step
 
     # Newton-loop stop codes (run_level return)
@@ -452,6 +457,10 @@ class _SolverCtx:
                 k=jnp.asarray(0, jnp.int32),
                 code=jnp.asarray(0, jnp.int32),
                 tr=tr0,
+                # smoother eigenvalue estimates, computed on the first
+                # iteration of this level run and reused after (<= 0 means
+                # "estimate now")
+                lmax=jnp.zeros(raw.n_smooth, dtype=dtype),
             )
 
             def cond(s):
@@ -459,8 +468,8 @@ class _SolverCtx:
 
             def body(s):
                 z, k, tr = s["z"], s["k"], s["tr"]
-                z_new, lam2, alpha, phi0, cy, dphi = raw(
-                    Bs, idxs, embeds, rloc, x, w, c, z, t
+                z_new, lam2, alpha, phi0, cy, dphi, lmax_new = raw(
+                    Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"]
                 )
                 tr = dict(
                     lam2=tr["lam2"].at[k].set(lam2),
@@ -513,7 +522,9 @@ class _SolverCtx:
                         ),
                     ),
                 ).astype(jnp.int32)
-                return dict(z=z_new, k=k + 1, code=code, tr=tr)
+                return dict(
+                    z=z_new, k=k + 1, code=code, tr=tr, lmax=lmax_new
+                )
 
             s = jax.lax.while_loop(cond, body, state0)
             return s["z"], s["k"], s["code"], s["tr"]
@@ -531,9 +542,11 @@ class _SolverCtx:
 
     def step(self, level: int, z, t):
         if level not in self._steps:
-            self._steps[level] = jax.jit(self._build_step(level))
+            raw = self._build_step(level)
+            self._steps[level] = (jax.jit(raw), raw.n_smooth)
+        fn, n_smooth = self._steps[level]
         Ps, idxs, embeds, rloc = self._level_args(level)
-        return self._steps[level](
+        out = fn(
             Ps,
             idxs,
             embeds,
@@ -543,7 +556,9 @@ class _SolverCtx:
             self.c,
             z,
             jnp.asarray(t, dtype=z.dtype),
+            jnp.zeros(n_smooth, dtype=z.dtype),
         )
+        return out[:6]
 
     def run_level(self, level: int, z, t, theta2: float):
         """Run the full Newton iteration at `level`; returns

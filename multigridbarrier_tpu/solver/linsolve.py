@@ -273,6 +273,7 @@ def mgcg_solve(
     degree: int = 3,
     shift: float = 0.0,
     stagnation: int = 12,
+    lmaxs_in=None,
 ):
     """Multigrid-preconditioned CG on the finest level of `systems`.
 
@@ -299,11 +300,29 @@ def mgcg_solve(
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
     # level 0 is solved directly inside the cycle: no smoother there, so
-    # skip its eigenvalue estimate (each estimate costs `iters` H@v's)
-    lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)] + [
-        lambda_max_est(s, d, iters=6)
-        for s, d in zip(systems[1:], dinvs[1:])
-    ]
+    # skip its eigenvalue estimate (each estimate costs `iters` H@v's).
+    # Callers may pass lmaxs_in (nlevels-1,) with positive entries to skip
+    # the power iterations entirely: lambda_max(D^-1 H) is O(1) and drifts
+    # slowly along the Newton path, so an estimate from the level's first
+    # iteration stays valid (with the built-in 1.05 margin) for the rest.
+    if lmaxs_in is not None:
+        lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)]
+        for i, (s, d) in enumerate(zip(systems[1:], dinvs[1:])):
+            lm = jax.lax.cond(
+                lmaxs_in[i] > 0,
+                lambda _: lmaxs_in[i] * jnp.asarray(1.0, dtype=bp.dtype),
+                lambda _: lambda_max_est(s, d, iters=6),
+                0,
+            )
+            lmaxs.append(lm)
+    else:
+        lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)] + [
+            lambda_max_est(s, d, iters=6)
+            for s, d in zip(systems[1:], dinvs[1:])
+        ]
+    lmaxs_out = jnp.stack(lmaxs[1:]) if len(lmaxs) > 1 else jnp.zeros(
+        0, dtype=bp.dtype
+    )
     coarse_cf = jax.scipy.linalg.cho_factor(dense_assemble(systems[0], nf))
 
     sh = jnp.asarray(shift, dtype=bp.dtype)
@@ -351,4 +370,4 @@ def mgcg_solve(
 
     x, r, p, rz, it, xb, rb2, stag = jax.lax.while_loop(cond, body, state0)
     rel = jnp.sqrt(rb2 / (b2 + eps))
-    return xb.at[:, fine.m].set(0.0), it, rel
+    return xb.at[:, fine.m].set(0.0), it, rel, lmaxs_out

@@ -118,7 +118,7 @@ def test_mgcg_on_spd_system():
     rng = np.random.default_rng(5)
     bp = jnp.zeros((nf, m + 1), dtype=jnp.float64)
     bp = bp.at[:, :m].set(jnp.asarray(rng.standard_normal((nf, m))))
-    x, its, rel = mgcg_solve(
+    x, its, rel, _ = mgcg_solve(
         systems, g.embed["dirichlet"][:1], bp, nf, rtol=1e-12, shift=0.0
     )
     xd = dense_solve(systems[-1], nf, bp)
