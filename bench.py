@@ -42,7 +42,12 @@ def main():
     def solve():
         # default tol = sqrt(eps(T)) — the reference amgb default used by
         # its published benchmark runs (tools/benchmark_fem2d.jl)
-        sol = mgb.amgb(g, p=1.0, tol=None if dtype_name == "f64" else 1e-4)
+        sol = mgb.amgb(
+            g,
+            p=1.0,
+            tol=None if dtype_name == "f64" else 1e-4,
+            logfile=sys.stderr,
+        )
         jax.block_until_ready(sol.z)
         return sol
 
