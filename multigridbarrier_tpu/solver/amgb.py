@@ -207,7 +207,7 @@ class _SolverCtx:
         max_backtrack: int = 60,
         linear_solver: Optional[Callable] = None,
         x=None,
-        cg_rtol: float = 1e-12,
+        cg_rtol: float = 1e-9,
         cg_maxiter: int = 400,
         newton_cap: int = 200,
     ):

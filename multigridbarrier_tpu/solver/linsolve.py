@@ -242,7 +242,12 @@ def vcycle(
     def cycle(l, bp_l):
         sys_l, dinv_l, lmax_l = systems[l], dinvs[l], lmaxs[l]
         if l == 0:
-            x = jax.scipy.linalg.cho_solve(coarse_cf, bp_l.reshape(-1))
+            # the dense coarse factor may be f64 while the cycle runs f32
+            # (mixed-precision preconditioning): solve at factor precision,
+            # return at cycle precision
+            x = jax.scipy.linalg.cho_solve(
+                coarse_cf, bp_l.reshape(-1).astype(coarse_cf[0].dtype)
+            ).astype(bp_l.dtype)
             return x.reshape(nf, sys_l.m + 1).at[:, sys_l.m].set(0.0)
         xp = chebyshev(
             sys_l, dinv_l, lmax_l, jnp.zeros_like(bp_l), bp_l, degree
@@ -330,10 +335,39 @@ def mgcg_solve(
     def Aop(v):
         return hvp(fine, v) + sh * diag_fine * v
 
+    # Mixed precision: the preconditioner only steers the Krylov space, so
+    # its smoothing sweeps run in float32 (native TPU rate; f64 is emulated)
+    # while CG residuals/updates stay f64 — the converged accuracy is set by
+    # the f64 outer iteration, the f32 inner pass just makes it cheap.
+    f32 = bp.dtype == jnp.float64
+    if f32:
+        systems32 = [
+            s._replace(He=s.He.astype(jnp.float32)) for s in systems
+        ]
+        dinvs32 = [d.astype(jnp.float32) for d in dinvs]
+        lmaxs32 = [l.astype(jnp.float32) for l in lmaxs]
+        embeds32 = [
+            type(E)(
+                cols=E.cols, vals=E.vals.astype(jnp.float32), shape=E.shape
+            )
+            for E in embeds
+        ]
+    else:
+        systems32, dinvs32, lmaxs32, embeds32 = systems, dinvs, lmaxs, embeds
+
     def precond(r):
-        return vcycle(
-            systems, dinvs, lmaxs, embeds, coarse_cf, r, nf, degree=degree
+        r32 = r.astype(jnp.float32) if f32 else r
+        out = vcycle(
+            systems32,
+            dinvs32,
+            lmaxs32,
+            embeds32,
+            coarse_cf,
+            r32,
+            nf,
+            degree=degree,
         )
+        return out.astype(bp.dtype)
 
     b2 = jnp.vdot(bp, bp)
     eps = jnp.asarray(jnp.finfo(bp.dtype).tiny, dtype=bp.dtype)
