@@ -873,9 +873,11 @@ def amgb(
     # ---- Phase 1: feasibility --------------------------------------------
     ops = geometry.operators
     y0 = _apply_D(ops, spec, z0)
-    slack0 = jax.vmap(Qset.slack)(x, y0)
     barrier0 = jnp.sum(w * jax.vmap(Qset.barrier)(x, y0))
-    feasible = bool(jnp.all(slack0 < 0.0)) and bool(jnp.isfinite(barrier0))
+    # strict interiority <=> finite barrier (-log margin); the slack()
+    # convention carries a +1 comfort margin that must NOT gate the skip —
+    # a converged (near-boundary) iterate passed back in as z0 is feasible
+    feasible = bool(jnp.isfinite(barrier0))
 
     if feasible:
         z = z0

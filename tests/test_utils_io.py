@@ -57,3 +57,21 @@ def test_device_to_native(sol_1d):
     assert isinstance(np.asarray(native.z), np.ndarray)
     gn = mgb.device_to_native(sol_1d.geometry)
     assert isinstance(gn.x, np.ndarray)
+
+
+def test_checkpoint_resume(tmp_path):
+    # documented recipe (docs/guide.md): persist z + barrier t, continue the
+    # path at tighter tolerance; must match a from-scratch solve
+    import multigridbarrier_tpu as mgb
+
+    g = mgb.fem1d(L=3)
+    sol = mgb.amgb(g, p=2.0, tol=1e-4)
+    f = str(tmp_path / "ck.npz")
+    mgb.save_solution(f, sol)
+    ck = mgb.load_solution(f)
+    sol2 = mgb.amgb(g, p=2.0, tol=1e-7, z0=ck["z"], t=float(ck["main_ts"][-1]))
+    sol_direct = mgb.amgb(mgb.fem1d(L=3), p=2.0, tol=1e-7)
+    diff = np.abs(np.asarray(sol2.z) - np.asarray(sol_direct.z)).max()
+    assert diff < 1e-7 * 1000
+    # warm start must save Newton work
+    assert sol2.SOL_main.its.sum() < sol_direct.SOL_main.its.sum()
