@@ -158,10 +158,8 @@ def scatter_table(idx: np.ndarray, m: int) -> np.ndarray:
     width = int(counts.max()) if counts.size else 1
     table = np.full((m + 1, width), nelem * nl, dtype=np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    for a in range(m + 1):
-        c = counts[a]
-        if c:
-            table[a, :c] = order[starts[a] : starts[a] + c]
+    within = np.arange(len(flat)) - starts[sorted_ids]
+    table[sorted_ids, within] = order
     return table
 
 
