@@ -43,9 +43,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import sys
 import time
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -166,15 +165,6 @@ class AMGBConvergenceFailure(RuntimeError):
 def _apply_D(ops, spec: DSpec, z):
     cols = [ops[op].matvec(z[:, f]) for (f, op) in spec.entries]
     return jnp.stack(cols, axis=1)
-
-
-def _apply_Dt(ops, spec: DSpec, gy, nfields):
-    out = [None] * nfields
-    for j, (f, op) in enumerate(spec.entries):
-        contrib = ops[op].rmatvec(gy[:, j])
-        out[f] = contrib if out[f] is None else out[f] + contrib
-    zero = jnp.zeros(gy.shape[0], dtype=gy.dtype)
-    return jnp.stack([o if o is not None else zero for o in out], axis=1)
 
 
 def _masked_wsum(w, vals):

@@ -23,7 +23,6 @@ zero pad slot per field (see runtime/elements.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax
