@@ -17,10 +17,38 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 BASELINE_NATIVE_S = {1: 0.018, 2: 0.028, 3: 0.074, 4: 0.480, 5: 2.508, 6: 26.384, 7: 96.694, 8: 659.276}
+
+
+def _run_in_subprocess() -> int:
+    """The shared TPU worker occasionally crashes mid-run (UNAVAILABLE);
+    a crashed PJRT client cannot recover in-process, so the measurement
+    runs in a child process and is retried once on failure."""
+    env = dict(os.environ, MGB_BENCH_SUBPROCESS="1")
+    for attempt in range(2):
+        res = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        out = res.stdout or ""
+        line = next(
+            (l for l in reversed(out.splitlines()) if l.startswith("{")), None
+        )
+        if res.returncode == 0 and line:
+            print(line)
+            return 0
+        print(
+            f"# bench attempt {attempt + 1} failed (rc={res.returncode}); "
+            + ("retrying" if attempt == 0 else "giving up"),
+            file=sys.stderr,
+        )
+    return 1
 
 
 def main():
@@ -83,4 +111,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MGB_BENCH_SUBPROCESS") or os.environ.get("MGB_BENCH_NO_FORK"):
+        main()
+    else:
+        sys.exit(_run_in_subprocess())
