@@ -80,6 +80,29 @@ class Geometry:
     def subspace_dims(self, key: str = "dirichlet") -> Tuple[int, ...]:
         return tuple(R.ncols for R in self.subspaces[key])
 
+    def vertex_indices(self) -> np.ndarray:
+        """Flat indices (into rows of ``x``) of broken points that sit at
+        element vertices (reference: the `vertex_indices` raw-array hook,
+        src/MultiGridBarrierMPI.jl:191-192; used for plotting/analysis).
+        fem1d uses interior Gauss points, so no broken point is a vertex."""
+        name = self.discretization.name
+        nq = self.discretization.nq
+        nelem = self.discretization.nelem
+        if name == "fem2d":
+            local = np.array([0, 1, 2])
+        elif name == "fem3d":
+            k = self.discretization.payload["k"]
+            kp1 = k + 1
+            corner = np.array([0, k])
+            local = (
+                corner[None, None, :]
+                + kp1 * corner[None, :, None]
+                + kp1 * kp1 * corner[:, None, None]
+            ).ravel()
+        else:
+            return np.empty(0, dtype=np.int64)
+        return (np.arange(nelem)[:, None] * nq + local[None, :]).ravel()
+
     def with_backend(self, backend: Backend) -> "Geometry":
         """Re-home the geometry on a different backend (device mesh and/or
         dtype) — the `to_backend` migration of the reference
