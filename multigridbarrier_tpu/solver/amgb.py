@@ -315,12 +315,7 @@ class _SolverCtx:
             or nf * m <= self.backend.dense_threshold
             or level == 0
         )
-        # MG-CG hierarchy depth: a 3-level cycle (Chebyshev on the top two,
-        # exact dense solve two levels down at 1/16 the dofs) preconditions
-        # as strongly as the full hierarchy here, and every extra level
-        # adds fixed per-op latency to EVERY cycle application
-        mg_depth = 3
-        sub_levels = list(range(max(0, level - (mg_depth - 1)), level + 1))
+        sub_levels = self._sub_levels(level)
         cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
 
         n_smooth = max(1, len(sub_levels) - 1)
@@ -352,11 +347,11 @@ class _SolverCtx:
             else:
                 systems = [
                     LevelSystem(
-                        self._assemble_He(Ps[sl], Y2w_e),
-                        bases[sl].idx,
+                        self._assemble_He(Ps[i], Y2w_e),
+                        bases[i].idx,
                         self._bases[sl].m,
                     )
-                    for sl in sub_levels
+                    for i, sl in enumerate(sub_levels)
                 ]
 
             cg_iters = jnp.asarray(0, dtype=jnp.int32)
@@ -372,7 +367,7 @@ class _SolverCtx:
             else:
                 dvp, cg_iters, _, lmaxs_new = mgcg_solve(
                     systems,
-                    embeds[sub_levels[0] :],
+                    embeds,
                     -gv,
                     nf,
                     rtol=cg_rtol,
@@ -521,10 +516,22 @@ class _SolverCtx:
 
         return jax.jit(loop)
 
+    def _sub_levels(self, level: int):
+        """MG-CG hierarchy for `level`: a 3-level cycle (Chebyshev on the
+        top two, exact dense solve two levels down at 1/16 the dofs)
+        preconditions as strongly as the full hierarchy here, and every
+        extra level adds fixed per-op latency to EVERY cycle application."""
+        mg_depth = 3
+        return list(range(max(0, level - (mg_depth - 1)), level + 1))
+
     def _level_args(self, level: int):
-        Ps = tuple(self._P[: level + 1])
-        bases = tuple(self._bases[: level + 1])
-        embeds = tuple(self._embeds[:level])
+        # pass only the sub-hierarchy's tensors into the kernel: unused
+        # operator tensors would still count as live inputs of every
+        # compiled level program
+        subs = self._sub_levels(level)
+        Ps = tuple(self._P[sl] for sl in subs)
+        bases = tuple(self._bases[sl] for sl in subs)
+        embeds = tuple(self._embeds[sl] for sl in subs[:-1])
         rloc = self._bases[level].rloc
         return Ps, bases, embeds, rloc
 
