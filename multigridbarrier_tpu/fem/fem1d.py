@@ -13,7 +13,7 @@ import scipy.sparse as sp
 import jax.numpy as jnp
 
 from ..backend import Backend, backend_cpu
-from ..runtime import BlockDiagOp, Ell, ell_from_scipy, level_basis_from_csr
+from ..runtime import BlockDiagOp, ell_from_scipy, level_basis_from_csr
 from .geometry import Discretization, Geometry
 
 _GAUSS = np.array([-1.0, 1.0]) / np.sqrt(3.0)  # 2-pt Gauss on [-1, 1]

@@ -26,12 +26,12 @@ plus two internal extras the TPU design wants:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..backend import Backend, backend_cpu
+from ..backend import Backend
 from ..runtime import BlockDiagOp, Ell, LevelBasis
 
 
