@@ -36,13 +36,16 @@ class Backend:
       mesh: optional jax Mesh with a DOF_AXIS axis.  None = single device.
       dense_threshold: Newton systems with <= this many unknowns are solved
         with dense Cholesky (the MUMPS replacement for coarse levels);
-        larger systems use multigrid-preconditioned CG.
+        larger systems use multigrid-preconditioned CG (which also turns
+        out to need FEWER Newton iterations near the f64 path floor: the
+        best-iterate CG direction is better behaved than the exact
+        factorization of a numerically singular system).
     """
 
     dtype: jnp.dtype = jnp.float64
     itype: jnp.dtype = jnp.int32
     mesh: Optional[jax.sharding.Mesh] = None
-    dense_threshold: int = 3072
+    dense_threshold: int = 1500
 
     @property
     def n_devices(self) -> int:
