@@ -39,21 +39,31 @@ def _load():
                 os.path.exists(src)
                 and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
             ):
-                subprocess.run(
-                    [
-                        "g++",
-                        "-O3",
-                        "-shared",
-                        "-fPIC",
-                        "-std=c++17",
-                        "-o",
-                        _SO_PATH,
-                        src,
-                    ],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+                # compile to a pid-unique temp path and rename atomically:
+                # concurrent imports (bench.py's retried subprocesses) must
+                # never dlopen a partially written .so or race two
+                # compilers onto the same output file
+                tmp = f"{_SO_PATH}.tmp{os.getpid()}"
+                try:
+                    subprocess.run(
+                        [
+                            "g++",
+                            "-O3",
+                            "-shared",
+                            "-fPIC",
+                            "-std=c++17",
+                            "-o",
+                            tmp,
+                            src,
+                        ],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    os.rename(tmp, _SO_PATH)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
             lib = ctypes.CDLL(_SO_PATH)
         except Exception:
             return None

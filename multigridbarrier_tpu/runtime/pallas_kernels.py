@@ -57,8 +57,7 @@ def assemble_he_pallas(P, Y2w_e, block_e: int = 32, interpret: bool = False):
     """He = P^T blockdiag(Y2w) P, batched over elements.
 
     P: (nelem, nq, k, C) f32;  Y2w_e: (nelem, nq, k, k) f32
-    -> (nelem, C, C) f32.  nelem must be divisible by block_e (the callers
-    pad element counts; fall back to XLA otherwise)."""
+    -> (nelem, C, C) f32.  One element per grid program; any nelem works."""
     nelem, nq, k, C = P.shape
     del block_e  # one element per program (grid-parallel)
     # Mosaic wants (8, 128)-aligned f32 tiles: pad the quadrature axis to a

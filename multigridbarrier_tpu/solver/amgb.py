@@ -111,6 +111,25 @@ def default_g(dim: int, dtype):
 
 
 _DEFAULT_Q_CACHE: dict = {}
+_CO_BARRIER_CACHE: dict = {}
+
+
+def _co_barrier_for(Qset: "Convex", k: int) -> Callable:
+    """Memoized phase-1 barrier wrapper for (Qset, k).
+
+    The solver-context cache is keyed on barrier identity; a fresh closure
+    per amgb call would make every infeasible-start solve miss the cache
+    and recompile all level kernels (the exact cost _get_ctx exists to
+    avoid — same memoization rationale as default_Q)."""
+    key = (Qset, k)
+    fn = _CO_BARRIER_CACHE.get(key)
+    if fn is None:
+
+        def fn(xi, ya, _Q=Qset, _k=k):
+            return _Q.cobarrier(xi, ya[:_k], ya[_k])
+
+        _CO_BARRIER_CACHE[key] = fn
+    return fn
 
 
 def default_Q(dim: int, p) -> Convex:
@@ -323,7 +342,6 @@ class _SolverCtx:
         def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs):
             # Ps/bases: per-sublevel element tensors (finest = Ps[-1]).
             Pl, idx = Ps[-1], bases[-1].idx
-            scat = bases[-1].scatter_idx
             nelem = Pl.shape[0]
             y = _apply_D(ops, spec, z)
             F0v = jax.vmap(barrier)(x, y)
@@ -660,6 +678,7 @@ def _path_follow(
         ts.append(t)
         z_backup = z
         its_backup = its.copy()
+        locked_backup = set(locked_levels)
         ok = True
         for lvl in range(L):
             if lvl < L - 1 and (not use_coarse or lvl in locked_levels):
@@ -699,6 +718,10 @@ def _path_follow(
         if not ok:
             z = z_backup
             its = its_backup
+            # locks taken during the rejected sweep belong to the
+            # too-aggressive t; a level locked there can still contribute at
+            # the smaller retried t, so roll the lock set back too
+            locked_levels = locked_backup
             ts.pop()
             t_prev = ts[-1] if ts else t0
             retry_stage += 1
@@ -787,11 +810,14 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
         cache = {}
         object.__setattr__(geometry, "_ctx_cache", cache)
     x = kw.get("x")
+    # key on the linear_solver callable itself (hashable, and holding it in
+    # the key keeps a strong reference — keying on id() would let GC recycle
+    # the id and silently alias a context compiled for a different solver)
     key = (
         spec,
         barrier,
         kw.get("subspace", "dirichlet"),
-        id(kw.get("linear_solver")),
+        kw.get("linear_solver"),
         kw.get("newton_cap", 50),
         None if x is None else x.shape[1],
     )
@@ -800,7 +826,11 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
         ctx = _SolverCtx(geometry, spec, barrier, c, **kw)
         cache[key] = ctx
     else:
-        ctx.c = c
+        # mirror x: re-shard call-time arrays so a cached context always
+        # feeds its level kernels operands with the placement they were
+        # compiled for (a replicated c on a meshed backend would force XLA
+        # to recompile/reshard every level kernel on repeat solves)
+        ctx.c = c if ctx.backend.mesh is None else ctx.backend.shard_rows(c)
         if x is not None:
             ctx.x = x if ctx.backend.mesh is None else ctx.backend.shard_rows(x)
     return ctx
@@ -906,8 +936,7 @@ def amgb(
         # lift uniformly so e is comfortably interior pointwise
         z0_aug = jnp.concatenate([z0, e0[:, None]], axis=1)
 
-        def co_barrier(xi, ya):
-            return Qset.cobarrier(xi, ya[: spec.k], ya[spec.k])
+        co_barrier = _co_barrier_for(Qset, spec.k)
 
         ctx1 = _get_ctx(
             geometry,

@@ -71,6 +71,12 @@ def convex_Euclidian_power(
         pv = pval(x)
         beta = jnp.maximum(0.0, 2.0 - 2.0 / pv)
         margin = s ** (2.0 / pv) - jnp.sum(q * q)
+        # INVARIANT: the beta * log(s) term must not be short-circuited at
+        # beta == 0.  For p = 1 (beta = 0) the wrong cone branch s <= -|q|
+        # has margin > 0, and the only thing rejecting it is
+        # 0 * log(negative) = 0 * NaN = NaN here — the solver's
+        # "feasible <=> finite barrier" skip check (amgb phase 1) and the
+        # line-search isfinite guard both rely on that NaN.
         return -jnp.log(margin) - beta * jnp.log(s)
 
     def barrier(x, y):
