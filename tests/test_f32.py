@@ -14,10 +14,14 @@ def test_fem2d_f32_solve_matches_f64():
     sol32 = mgb.amgb(mgb.fem2d(L=2, backend=b32), p=1.0, tol=1e-4)
     assert np.asarray(sol32.z).dtype == np.float32
     sol64 = mgb.amgb(mgb.fem2d(L=2), p=1.0, tol=1e-4)
-    diff = np.abs(np.asarray(sol32.z) - np.asarray(sol64.z)).max()
-    # f32 tolerance regime (reference tolerance(T): 1e-4, checked at x1000
-    # like its solution contract)
-    assert diff < 1e-1, diff
+    z64 = np.asarray(sol64.z)
+    diff = np.abs(np.asarray(sol32.z) - z64).max()
+    # norm-relative bound: the reference's Float32 contract is
+    # tolerance(T)=1e-4 checked at x1000 (test/test_utils.jl:118-119), but
+    # scaled by the solution magnitude (||z||_inf = 100 via the boundary
+    # field) an absolute 1e-1 barely constrains anything
+    rel = diff / np.abs(z64).max()
+    assert rel < 2e-4, (diff, rel)
 
 
 def test_fem1d_f32_constraint():

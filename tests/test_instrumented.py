@@ -35,17 +35,28 @@ def test_linear_solver_hook_captures_and_matches():
 
 
 def test_newton_matrices_are_spd():
+    """Every Newton system the solver factors must be symmetric positive
+    definite (the reference asserts the same via captured-eigenvalue
+    comparisons, test/test_newton_matrix_compare.jl:33-125).  The solver
+    hook runs under jit, so concrete matrices are shipped to the host with
+    jax.debug.callback."""
     captured = []
 
+    def record(H):
+        captured.append(np.asarray(H))
+
     def capture(H, b):
-        captured.append((H, b))
+        jax.debug.callback(record, H)
         cf = jax.scipy.linalg.cho_factor(H)
         return jax.scipy.linalg.cho_solve(cf, b)
 
     g = mgb.fem1d(L=2)
     mgb.amgb(g, p=2.0, tol=1e-4, linear_solver=capture)
-    # traced objects: evaluate one concrete instance via re-solve with a
-    # concrete capture using jax.pure_callback-free approach: just check
-    # the traced shapes are square
-    for H, b in captured:
-        assert H.shape[0] == H.shape[1] == b.shape[0]
+    jax.effects_barrier()
+
+    assert captured, "no Newton matrices captured"
+    for H in captured:
+        asym = np.abs(H - H.T).max() / max(np.abs(H).max(), 1.0)
+        assert asym < 1e-12, f"Newton matrix not symmetric: {asym}"
+        lam_min = np.linalg.eigvalsh(H).min()
+        assert lam_min > 0.0, f"Newton matrix not PD: lambda_min={lam_min}"
