@@ -102,7 +102,11 @@ def fem1d(L: int = 4, backend: Backend | None = None) -> Geometry:
         coarsen.append(sp.block_diag(blocks, format="csr"))
 
     def to_ell(A):
-        return ell_from_scipy(A, dtype=np.dtype(backend.dtype), itype=np.int32)
+        return ell_from_scipy(
+            A,
+            dtype=np.dtype(backend.dtype),
+            itype=np.dtype(backend.itype),
+        )
 
     geometry = Geometry(
         discretization=Discretization(
@@ -134,11 +138,21 @@ def fem1d(L: int = 4, backend: Backend | None = None) -> Geometry:
         backend=backend,
         bases={
             "full": tuple(
-                level_basis_from_csr(R, 2, dtype=np.dtype(backend.dtype))
+                level_basis_from_csr(
+                    R,
+                    2,
+                    dtype=np.dtype(backend.dtype),
+                    itype=np.dtype(backend.itype),
+                )
                 for R in sub_full
             ),
             "dirichlet": tuple(
-                level_basis_from_csr(R, 2, dtype=np.dtype(backend.dtype))
+                level_basis_from_csr(
+                    R,
+                    2,
+                    dtype=np.dtype(backend.dtype),
+                    itype=np.dtype(backend.itype),
+                )
                 for R in sub_dir
             ),
         },

@@ -341,7 +341,11 @@ def fem2d(L: int = 2, K=None, backend: Backend | None = None) -> Geometry:
         coarsen_ops.append(Cf)
 
     def to_ell(A):
-        return ell_from_scipy(A, dtype=np.dtype(backend.dtype), itype=np.int32)
+        return ell_from_scipy(
+            A,
+            dtype=np.dtype(backend.dtype),
+            itype=np.dtype(backend.itype),
+        )
 
     return Geometry(
         discretization=Discretization(
@@ -376,11 +380,21 @@ def fem2d(L: int = 2, K=None, backend: Backend | None = None) -> Geometry:
         backend=backend,
         bases={
             "full": tuple(
-                level_basis_from_csr(R, _NQ, dtype=np.dtype(backend.dtype))
+                level_basis_from_csr(
+                    R,
+                    _NQ,
+                    dtype=np.dtype(backend.dtype),
+                    itype=np.dtype(backend.itype),
+                )
                 for R in sub_full
             ),
             "dirichlet": tuple(
-                level_basis_from_csr(R, _NQ, dtype=np.dtype(backend.dtype))
+                level_basis_from_csr(
+                    R,
+                    _NQ,
+                    dtype=np.dtype(backend.dtype),
+                    itype=np.dtype(backend.itype),
+                )
                 for R in sub_dir
             ),
         },

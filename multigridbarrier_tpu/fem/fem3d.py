@@ -341,10 +341,10 @@ def fem3d(L: int = 2, k: int = 3, K=None, backend: Backend | None = None) -> Geo
         )
 
     to_ell = lambda A_: ell_from_scipy(  # noqa: E731
-        A_, dtype=np.dtype(backend.dtype), itype=np.int32
+        A_, dtype=np.dtype(backend.dtype), itype=np.dtype(backend.itype)
     )
     to_lb = lambda R: level_basis_from_csr(  # noqa: E731
-        R, nq, dtype=np.dtype(backend.dtype)
+        R, nq, dtype=np.dtype(backend.dtype), itype=np.dtype(backend.itype)
     )
 
     return Geometry(

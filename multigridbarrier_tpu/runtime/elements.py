@@ -145,10 +145,12 @@ class LevelBasis:
         )
 
 
-def scatter_table(idx: np.ndarray, m: int) -> np.ndarray:
+def scatter_table(idx: np.ndarray, m: int, itype=np.int32) -> np.ndarray:
     """Build the node-major gather table for scatter_add: row a lists the
     flat positions e*nl + slot with idx[e, slot] == a, padded with
-    nelem*nl (points at an appended zero row)."""
+    nelem*nl (points at an appended zero row).  `itype` follows the
+    backend index type (reference Ti control,
+    src/MultiGridBarrierMPI.jl:233-234: Int64 for > 2B-entry problems)."""
     idx = np.asarray(idx)
     nelem, nl = idx.shape
     flat = idx.reshape(-1)
@@ -156,7 +158,7 @@ def scatter_table(idx: np.ndarray, m: int) -> np.ndarray:
     sorted_ids = flat[order]
     counts = np.bincount(sorted_ids, minlength=m + 1)
     width = int(counts.max()) if counts.size else 1
-    table = np.full((m + 1, width), nelem * nl, dtype=np.int32)
+    table = np.full((m + 1, width), nelem * nl, dtype=itype)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     within = np.arange(len(flat)) - starts[sorted_ids]
     table[sorted_ids, within] = order
@@ -190,7 +192,7 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
             idx=jnp.asarray(idx_n.astype(itype, copy=False)),
             rloc=jnp.asarray(rloc_n),
             m=int(m),
-            scatter_idx=jnp.asarray(scatter_table(idx_n, int(m))),
+            scatter_idx=jnp.asarray(scatter_table(idx_n, int(m), itype=itype)),
         )
 
     indptr, indices, data = R.indptr, R.indices, R.data
@@ -217,5 +219,5 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
         idx=jnp.asarray(idx),
         rloc=jnp.asarray(rloc),
         m=int(m),
-        scatter_idx=jnp.asarray(scatter_table(idx, int(m))),
+        scatter_idx=jnp.asarray(scatter_table(idx, int(m), itype=itype)),
     )

@@ -134,3 +134,24 @@ def test_fem2d_custom_K():
     R2 = g.subspaces["dirichlet"][1].to_scipy()
     E = g.embed["dirichlet"][0].to_scipy()
     assert abs(R2 @ E - R1).max() < 1e-12
+
+
+def test_int64_index_backend():
+    """Backend.itype = int64 must flow into every index array (the
+    reference's Ti=Int64 control for >2B-nnz problems,
+    src/MultiGridBarrierMPI.jl:233-234) and solve identically to int32."""
+    import jax.numpy as jnp
+    import multigridbarrier_tpu as mgb
+
+    b64 = mgb.backend_cpu(itype=jnp.int64)
+    g = mgb.fem2d(L=2, backend=b64)
+    for R in g.subspaces["dirichlet"]:
+        assert R.cols.dtype == jnp.int64, R.cols.dtype
+    for B in g.bases["dirichlet"]:
+        assert B.idx.dtype == jnp.int64, B.idx.dtype
+        assert B.scatter_idx.dtype == jnp.int64, B.scatter_idx.dtype
+
+    sol64i = mgb.amgb(g, p=1.0, tol=1e-6)
+    sol32i = mgb.amgb(mgb.fem2d(L=2), p=1.0, tol=1e-6)
+    diff = np.abs(np.asarray(sol64i.z) - np.asarray(sol32i.z)).max()
+    assert diff < 1e-9, diff
