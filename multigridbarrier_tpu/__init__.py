@@ -78,6 +78,7 @@ from .api import (  # noqa: E402
     fem3d_solve,
     native_to_device,
     device_to_native,
+    NativeGeometry,
 )
 from .runtime import map_rows  # noqa: E402
 from .utils import io0, plot, plot_parabolic, save_solution, load_solution  # noqa: E402
@@ -108,6 +109,7 @@ __all__ = [
     "convex_Euclidian_power",
     "native_to_device",
     "device_to_native",
+    "NativeGeometry",
     "map_rows",
 ]
 

@@ -55,8 +55,62 @@ def test_parabolic_save_plot(tmp_path):
 def test_device_to_native(sol_1d):
     native = mgb.device_to_native(sol_1d)
     assert isinstance(np.asarray(native.z), np.ndarray)
+    # nested solve records are deep-converted (reference mpi_to_native on
+    # AMGBSOL recursively converts SOL_* and the geometry, src:409-474)
+    assert isinstance(native.geometry, mgb.NativeGeometry)
+    assert isinstance(native.SOL_main.its, np.ndarray)
     gn = mgb.device_to_native(sol_1d.geometry)
     assert isinstance(gn.x, np.ndarray)
+
+
+def _assert_geometry_roundtrip(g):
+    import scipy.sparse as sp
+
+    ng = mgb.device_to_native(g)
+    # every operator/subspace/refine/coarsen/embed is host scipy
+    for A in (
+        list(ng.operators.values())
+        + [R for v in ng.subspaces.values() for R in v]
+        + list(ng.refine)
+        + list(ng.coarsen)
+        + [E for v in ng.embed.values() for E in v]
+    ):
+        assert sp.issparse(A)
+
+    g2 = mgb.native_to_device(ng, g.backend)
+    np.testing.assert_allclose(np.asarray(g2.x), np.asarray(g.x), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(g2.w), np.asarray(g.w), atol=1e-15)
+    for name, op in g.operators.items():
+        d = abs(g2.operators[name].to_scipy() - op.to_scipy()).max()
+        assert d < 1e-15, (name, d)
+    for key in g.subspaces:
+        for R, R2 in zip(g.subspaces[key], g2.subspaces[key]):
+            assert abs(R2.to_scipy() - R.to_scipy()).max() < 1e-15
+        for B, B2 in zip(g.bases[key], g2.bases[key]):
+            assert abs(B2.to_scipy() - B.to_scipy()).max() < 1e-15
+    for seq, seq2 in ((g.refine, g2.refine), (g.coarsen, g2.coarsen)):
+        for R, R2 in zip(seq, seq2):
+            assert abs(R2.to_scipy() - R.to_scipy()).max() < 1e-15
+    for key in g.embed:
+        for E, E2 in zip(g.embed[key], g2.embed[key]):
+            assert abs(E2.to_scipy() - E.to_scipy()).max() < 1e-15
+
+
+def test_native_roundtrip_fem1d():
+    _assert_geometry_roundtrip(mgb.fem1d(L=3))
+
+
+def test_native_roundtrip_fem2d():
+    _assert_geometry_roundtrip(mgb.fem2d(L=2))
+
+
+def test_native_roundtrip_solve_parity():
+    """A geometry rebuilt from its host form must solve identically."""
+    g = mgb.fem2d(L=2)
+    g2 = mgb.native_to_device(mgb.device_to_native(g), g.backend)
+    z1 = np.asarray(mgb.amgb(g, p=1.0, tol=1e-6).z)
+    z2 = np.asarray(mgb.amgb(g2, p=1.0, tol=1e-6).z)
+    assert np.abs(z1 - z2).max() < 1e-10
 
 
 def test_checkpoint_resume(tmp_path):
