@@ -68,7 +68,21 @@ class Backend:
         if self.mesh is None:
             return arr
         if arr.shape[0] % self.mesh.size:
-            return self.replicate(arr)  # indivisible: keep replicated
+            # Indivisible leading axis: fall back to replication, loudly —
+            # geometries built by the fem builders are element-padded
+            # (fem.geometry.pad_elements) so this should never fire on the
+            # solve path; a silent fallback here would turn into an
+            # invisible scaling cliff.
+            import warnings
+
+            warnings.warn(
+                f"shard_rows: leading dim {arr.shape[0]} not divisible by "
+                f"mesh size {self.mesh.size}; replicating instead of "
+                "sharding (pad the element axis, see "
+                "fem.geometry.pad_elements)",
+                stacklevel=2,
+            )
+            return self.replicate(arr)
         return jax.device_put(arr, self.row_sharding(arr.ndim))
 
     def replicate(self, arr):

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..backend import Backend, backend_cpu
 from ..runtime import BlockDiagOp, ell_from_scipy, level_basis_from_csr
-from .geometry import Discretization, Geometry
+from .geometry import Discretization, Geometry, pad_elements
 
 _GAUSS = np.array([-1.0, 1.0]) / np.sqrt(3.0)  # 2-pt Gauss on [-1, 1]
 
@@ -157,4 +157,4 @@ def fem1d(L: int = 4, backend: Backend | None = None) -> Geometry:
             ),
         },
     )
-    return geometry
+    return pad_elements(geometry, backend.pad_multiple())

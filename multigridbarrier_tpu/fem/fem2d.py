@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..backend import Backend, backend_cpu
 from ..runtime import BlockDiagOp, ell_from_scipy, level_basis_from_csr
-from .geometry import Discretization, Geometry
+from .geometry import Discretization, Geometry, pad_elements
 
 # Reference-element (unit triangle (0,0),(1,0),(0,1)) node table:
 # 3 vertices, 3 edge midpoints (01, 12, 20), centroid.
@@ -347,7 +347,7 @@ def fem2d(L: int = 2, K=None, backend: Backend | None = None) -> Geometry:
             itype=np.dtype(backend.itype),
         )
 
-    return Geometry(
+    geometry = Geometry(
         discretization=Discretization(
             name="fem2d",
             dim=2,
@@ -399,3 +399,4 @@ def fem2d(L: int = 2, K=None, backend: Backend | None = None) -> Geometry:
             ),
         },
     )
+    return pad_elements(geometry, backend.pad_multiple())

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..backend import Backend, backend_cpu
 from ..runtime import BlockDiagOp, ell_from_scipy, level_basis_from_csr
-from .geometry import Discretization, Geometry
+from .geometry import Discretization, Geometry, pad_elements
 
 
 def gll_nodes_weights(k: int):
@@ -347,7 +347,7 @@ def fem3d(L: int = 2, k: int = 3, K=None, backend: Backend | None = None) -> Geo
         R, nq, dtype=np.dtype(backend.dtype), itype=np.dtype(backend.itype)
     )
 
-    return Geometry(
+    geometry = Geometry(
         discretization=Discretization(
             name="fem3d",
             dim=3,
@@ -380,3 +380,4 @@ def fem3d(L: int = 2, k: int = 3, K=None, backend: Backend | None = None) -> Geo
             "dirichlet": tuple(to_lb(R) for R in sub_dir),
         },
     )
+    return pad_elements(geometry, backend.pad_multiple())

@@ -33,6 +33,7 @@ import numpy as np
 
 from ..backend import Backend
 from ..runtime import BlockDiagOp, Ell, LevelBasis
+from ..runtime.elements import scatter_table
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +104,19 @@ class Geometry:
             return np.empty(0, dtype=np.int64)
         return (np.arange(nelem)[:, None] * nq + local[None, :]).ravel()
 
+    @property
+    def nelem_real(self) -> int:
+        """Element count excluding mesh-divisibility padding."""
+        return self.discretization.payload.get(
+            "nelem_real", self.discretization.nelem
+        )
+
+    @property
+    def n_real(self) -> int:
+        """Broken-point count excluding mesh-divisibility padding: rows
+        [n_real:] of x/w/z belong to inert padding elements (w = 0)."""
+        return self.nelem_real * self.discretization.nq
+
     def with_backend(self, backend: Backend) -> "Geometry":
         """Re-home the geometry on a different backend (device mesh and/or
         dtype) — the `to_backend` migration of the reference
@@ -127,3 +141,103 @@ class Geometry:
                 k: tuple(B.astype(dt) for B in v) for k, v in self.bases.items()
             },
         )
+
+
+def pad_elements(g: Geometry, mult: int) -> Geometry:
+    """Pad the finest element axis to a multiple of `mult` with inert
+    elements, so every sharded tensor's leading axis divides the device
+    mesh exactly (the reference tolerates uneven MPI row partitions;
+    GSPMD wants even shards — Backend.pad_multiple).
+
+    Every per-level solver tensor (P_l, bases idx/rloc, x, w, c, z) is
+    indexed by the *finest* element axis, so this one padding fixes
+    divisibility for the whole hierarchy.  Inert elements are constructed
+    to be exactly harmless:
+
+    - w = 0 on their broken points (masked out of all weighted sums),
+    - derivative operator blocks = 0 and basis rloc = 0, so Dz rows are
+      (id: z0 values, gradients: 0) — strictly feasible for any barrier
+      whose initial iterate is — and the Newton direction there is 0,
+    - basis idx = m (the pad slot), so scatters drop their contributions.
+
+    Coordinates duplicate the last real element (finite barrier/f/g
+    evaluations).  `refine`/`coarsen` endpoints are re-shaped to the
+    padded finest broken space (zero rows / zero columns).
+    """
+    disc = g.discretization
+    nelem, nq = disc.nelem, disc.nq
+    npad = (-nelem) % max(1, mult)
+    if npad == 0:
+        return g
+    nelem_p = nelem + npad
+    n_pad_rows = npad * nq
+    dtype = g.x.dtype
+
+    x_tail = jnp.tile(g.x[-nq:], (npad, 1))
+    x_p = jnp.concatenate([g.x, x_tail], axis=0)
+    w_p = jnp.concatenate(
+        [g.w, jnp.zeros((n_pad_rows,), dtype=dtype)], axis=0
+    )
+
+    def pad_op(name: str, op: BlockDiagOp) -> BlockDiagOp:
+        if op.is_identity:
+            return BlockDiagOp.identity(nelem_p, nq, dtype)
+        zeros = jnp.zeros((npad, nq, nq), dtype=op.blocks.dtype)
+        return BlockDiagOp.from_blocks(
+            jnp.concatenate([op.blocks, zeros], axis=0)
+        )
+
+    def pad_ell_rows(E: Ell) -> Ell:
+        cols = jnp.concatenate(
+            [E.cols, jnp.zeros((n_pad_rows, E.width), dtype=E.cols.dtype)]
+        )
+        vals = jnp.concatenate(
+            [E.vals, jnp.zeros((n_pad_rows, E.width), dtype=E.vals.dtype)]
+        )
+        return Ell(cols=cols, vals=vals, shape=(E.nrows + n_pad_rows, E.ncols))
+
+    def pad_ell_cols(E: Ell) -> Ell:
+        return Ell(cols=E.cols, vals=E.vals, shape=(E.nrows, E.ncols + n_pad_rows))
+
+    def pad_basis(B: LevelBasis) -> LevelBasis:
+        itype = np.asarray(B.idx).dtype
+        idx = np.concatenate(
+            [np.asarray(B.idx), np.full((npad, B.nl), B.m, dtype=itype)]
+        )
+        rloc = jnp.concatenate(
+            [B.rloc, jnp.zeros((npad, nq, B.nl), dtype=B.rloc.dtype)]
+        )
+        return LevelBasis(
+            idx=jnp.asarray(idx),
+            rloc=rloc,
+            m=B.m,
+            scatter_idx=jnp.asarray(scatter_table(idx, B.m, itype=itype)),
+        )
+
+    payload = dict(disc.payload)
+    payload.setdefault("nelem_real", nelem)
+    refine = tuple(g.refine)
+    coarsen = tuple(g.coarsen)
+    if refine:
+        refine = refine[:-1] + (pad_ell_rows(refine[-1]),)
+    if coarsen:
+        coarsen = coarsen[:-1] + (pad_ell_cols(coarsen[-1]),)
+    return Geometry(
+        discretization=dataclasses.replace(
+            disc, nelem=nelem_p, payload=payload
+        ),
+        x=x_p,
+        w=w_p,
+        operators={k: pad_op(k, op) for k, op in g.operators.items()},
+        subspaces={
+            k: tuple(pad_ell_rows(R) for R in v)
+            for k, v in g.subspaces.items()
+        },
+        refine=refine,
+        coarsen=coarsen,
+        embed=g.embed,
+        backend=g.backend,
+        bases={
+            k: tuple(pad_basis(B) for B in v) for k, v in g.bases.items()
+        },
+    )

@@ -42,7 +42,9 @@ def plot(sol, field: int = 0, fname: str | None = None, ax=None, **kwargs):
         g, u = sol.geometry, np.asarray(sol.z)[:, field]
     else:
         raise TypeError(f"cannot plot {type(sol)}")
-    x = np.asarray(g.x)
+    nr = getattr(g, "n_real", len(u))  # drop mesh-padding rows
+    x = np.asarray(g.x)[:nr]
+    u = u[:nr]
     dim = g.dim
 
     created = ax is None
@@ -85,12 +87,13 @@ def plot_parabolic(psol, field: int = 0, fname: str | None = None, ncols: int = 
     import matplotlib.pyplot as plt
 
     g = psol.geometry
-    x = np.asarray(g.x)
+    nr = getattr(g, "n_real", g.x.shape[0])  # drop mesh-padding rows
+    x = np.asarray(g.x)[:nr]
     nts = len(psol.ts)
     nrows = -(-nts // ncols)
     fig = plt.figure(figsize=(4 * ncols, 3 * nrows))
     for i, (t, u) in enumerate(zip(psol.ts, psol.u)):
-        uu = np.asarray(u)[:, field]
+        uu = np.asarray(u)[:nr, field]
         if g.dim == 2:
             ax = fig.add_subplot(nrows, ncols, i + 1, projection="3d")
             ax.plot_trisurf(x[:, 0], x[:, 1], uu, cmap="viridis")

@@ -106,4 +106,7 @@ def test_amgb_ignores_unknown_kwargs():
 
 def test_fem1d_solve_entrypoint():
     sol = mgb.fem1d_solve(L=2, p=1.0, tol=1e-5)
-    assert sol.z.shape[0] == 8
+    # backend_auto may pick a mesh (element-padded rows); the real broken
+    # space is always 4 elements x 2 points
+    assert sol.z.shape[0] == sol.geometry.n
+    assert sol.geometry.n_real == 8
