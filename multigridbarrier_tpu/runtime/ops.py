@@ -2,9 +2,12 @@
 
 The reference runtime exposes hcat / blockdiag / spdiagm / transpose /
 column extraction / global reductions as MPI-collective operations
-(SURVEY.md §2.2).  Here they are host-side structural builders (geometry
-setup) or one-liner jnp reductions (solve time) — under jit the reductions
-lower to XLA collectives when operands are sharded; no plans, no hashes.
+(SURVEY.md §2.2).  Here hcat/vcat/blockdiag/spdiagm are pure device ops —
+static-shape ELL concatenations (padding entries have vals == 0, so a
+shifted padding column index stays harmless in matvec AND rmatvec) — and
+the reductions are one-liner jnp ops that lower to XLA collectives when
+operands are sharded; no plans, no hashes.  `transpose` re-buckets by
+column, which needs one host sync for the new static row width.
 
 These exist for API completeness and for building custom problem
 operators; the solver's hot path never materializes global sparse
@@ -17,33 +20,73 @@ from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
 
 from .ell import Ell, ell_from_scipy
 
 
+def _pad_width(cols: jnp.ndarray, vals: jnp.ndarray, W: int):
+    pad = W - cols.shape[1]
+    if pad == 0:
+        return cols, vals
+    return (
+        jnp.pad(cols, ((0, 0), (0, pad))),
+        jnp.pad(vals, ((0, 0), (0, pad))),
+    )
+
+
 def hcat(*mats: Ell) -> Ell:
     """Horizontal concatenation [A B ...] (reference: hcat of sparse blocks
-    for wide operators [D 0], test/test_d0_construction.jl:40-67)."""
-    return ell_from_scipy(
-        sp.hstack([m.to_scipy() for m in mats]),
-        dtype=np.asarray(mats[0].vals).dtype,
+    for wide operators [D 0], test/test_d0_construction.jl:40-67).  Device
+    op: per-row ELL entries concatenate along the width axis with column
+    offsets; padding entries (vals == 0) contribute nothing wherever their
+    shifted column lands."""
+    nrows = mats[0].nrows
+    if any(m.nrows != nrows for m in mats):
+        raise ValueError("hcat: row counts differ")
+    off = 0
+    cols_parts, vals_parts = [], []
+    for m in mats:
+        cols_parts.append(m.cols + jnp.asarray(off, dtype=m.cols.dtype))
+        vals_parts.append(m.vals)
+        off += m.ncols
+    return Ell(
+        cols=jnp.concatenate(cols_parts, axis=1),
+        vals=jnp.concatenate(vals_parts, axis=1),
+        shape=(nrows, off),
     )
 
 
 def vcat(*mats: Ell) -> Ell:
-    return ell_from_scipy(
-        sp.vstack([m.to_scipy() for m in mats]),
-        dtype=np.asarray(mats[0].vals).dtype,
+    """Vertical concatenation [A; B; ...] (device op: row-wise ELL concat,
+    widths padded to the max)."""
+    ncols = mats[0].ncols
+    if any(m.ncols != ncols for m in mats):
+        raise ValueError("vcat: column counts differ")
+    W = max(m.width for m in mats)
+    parts = [_pad_width(m.cols, m.vals, W) for m in mats]
+    return Ell(
+        cols=jnp.concatenate([p[0] for p in parts], axis=0),
+        vals=jnp.concatenate([p[1] for p in parts], axis=0),
+        shape=(sum(m.nrows for m in mats), ncols),
     )
 
 
 def blockdiag(*mats: Ell) -> Ell:
     """Block-diagonal concatenation (reference: amgb_blockdiag for
-    multi-field restrictions [R 0; 0 R], src/MultiGridBarrierMPI.jl:149)."""
-    return ell_from_scipy(
-        sp.block_diag([m.to_scipy() for m in mats]),
-        dtype=np.asarray(mats[0].vals).dtype,
+    multi-field restrictions [R 0; 0 R], src/MultiGridBarrierMPI.jl:149).
+    Device op: row-wise concat with per-block column offsets."""
+    W = max(m.width for m in mats)
+    off = 0
+    cols_parts, vals_parts = [], []
+    for m in mats:
+        c, v = _pad_width(m.cols, m.vals, W)
+        cols_parts.append(c + jnp.asarray(off, dtype=c.dtype))
+        vals_parts.append(v)
+        off += m.ncols
+    return Ell(
+        cols=jnp.concatenate(cols_parts, axis=0),
+        vals=jnp.concatenate(vals_parts, axis=0),
+        shape=(sum(m.nrows for m in mats), off),
     )
 
 

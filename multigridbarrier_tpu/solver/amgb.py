@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Callable, Optional, Tuple
 
@@ -504,6 +505,13 @@ class _SolverCtx:
                 )
                 eps = jnp.asarray(jnp.finfo(z0.dtype).eps, dtype=z0.dtype)
                 dphi3 = jax.lax.dynamic_slice(tr["dphi"], (k - 2,), (3,))
+                # |phi0|-scaled: deliberately CONSERVATIVE.  dphi is
+                # measured in difference form whose true noise is only
+                # ~eps*|fy0|, but iterating down to that floor makes the
+                # line search accept noise-direction micro-steps (measured:
+                # an f32 leg with an eps*|fy0| floor spends ~15% more
+                # iterations and hands off a WORSE-centered iterate).
+                # Stalling early is cheap — path continuation self-corrects.
                 floor = 64.0 * eps * (jnp.abs(phi0) + 1.0)
                 stall_floor = (k >= 2) & (jnp.max(jnp.abs(dphi3)) <= floor)
                 stall = stall_quad | stall_floor
@@ -575,25 +583,42 @@ class _SolverCtx:
         )
         return out[:6]
 
+    # transient infrastructure failures worth retrying: the remote compile
+    # service can drop the HTTP response mid-body under load (seen at L=8:
+    # "read body: response body closed before all bytes were read")
+    _RETRYABLE = ("remote_compile", "read body", "UNAVAILABLE", "RESOURCE_EXHAUSTED")
+
     def run_level(self, level: int, z, t, theta2: float):
         """Run the full Newton iteration at `level`; returns
         (z, its, stop_code, traces) with one host sync."""
         if level not in self._loops:
             self._loops[level] = self._build_loop(level)
         Ps, idxs, embeds, rloc = self._level_args(level)
-        z, its, code, tr = self._loops[level](
-            Ps,
-            idxs,
-            embeds,
-            rloc,
-            self.x,
-            self.w,
-            self.c,
-            z,
-            jnp.asarray(t, dtype=z.dtype),
-            jnp.asarray(theta2, dtype=z.dtype),
-        )
-        return z, int(its), int(code), jax.device_get(tr)
+        import time as _time
+
+        for attempt in range(3):
+            try:
+                z_out, its, code, tr = self._loops[level](
+                    Ps,
+                    idxs,
+                    embeds,
+                    rloc,
+                    self.x,
+                    self.w,
+                    self.c,
+                    z,
+                    jnp.asarray(t, dtype=z.dtype),
+                    jnp.asarray(theta2, dtype=z.dtype),
+                )
+                break
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if attempt == 2 or not any(
+                    s in msg for s in self._RETRYABLE
+                ):
+                    raise
+                _time.sleep(10.0 * (attempt + 1))
+        return z_out, int(its), int(code), jax.device_get(tr)
 
     def warmup(self, z, t, theta2: float = 0.0625):
         """Compile every level's Newton-loop kernel concurrently.
@@ -606,7 +631,6 @@ class _SolverCtx:
         if self._warmed:
             return
         self._warmed = True
-        import os
 
         levels = list(range(self.levels))
         if len(levels) <= 1 or os.environ.get("MGB_SERIAL_WARMUP"):
@@ -615,7 +639,12 @@ class _SolverCtx:
             return
         import concurrent.futures as cf
 
-        with cf.ThreadPoolExecutor(max_workers=len(levels)) as ex:
+        # bounded concurrency: unbounded parallel compiles overload the
+        # remote compile service at large L (dropped responses at L=8)
+        workers = min(
+            len(levels), int(os.environ.get("MGB_WARMUP_THREADS", "4"))
+        )
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             futs = [
                 ex.submit(self.run_level, lvl, z, t, theta2)
                 for lvl in levels
@@ -645,6 +674,7 @@ def _path_follow(
     verbose: bool = False,
     logfile=None,
     phase: str = "main",
+    start_fine: bool = False,
 ):
     L = ctx.levels
     its = np.zeros(L, dtype=np.int64)
@@ -671,7 +701,7 @@ def _path_follow(
     # see the lock semantics below).  After the first successful t-step we
     # run the finest level only, re-enabling the full sweep as the first
     # escalation if a t-step fails.
-    use_coarse = True
+    use_coarse = not start_fine
     retry_stage = 0
     ctx.warmup(z, t, theta ** 2)
     while True:
@@ -797,6 +827,36 @@ def _path_follow(
 # ----------------------------------------------------------------------------
 
 
+def _f32_twin(geometry: Geometry) -> Geometry:
+    """Memoized float32 re-homing of an f64 geometry (mixed-precision path
+    following).  Cached on the geometry so the f32 twin's _ctx_cache — and
+    with it every compiled f32 level kernel — survives across amgb calls."""
+    tw = getattr(geometry, "_f32_twin_cache", None)
+    if tw is None:
+        # dense_threshold=0: in f32 the dense Cholesky falls apart at the
+        # path conditioning the leg reaches (cond ~ t >> 1/eps32 scaled),
+        # handing off garbage directions; MG-CG's best-iterate tracking
+        # stays robust there, so every level above the coarsest solves
+        # iteratively in the f32 leg.
+        tw = geometry.with_backend(
+            geometry.backend.replace(dtype=jnp.float32, dense_threshold=0)
+        )
+        geometry._f32_twin_cache = tw
+    return tw
+
+
+def _merge_phase_logs(a: PhaseLog, b: PhaseLog) -> PhaseLog:
+    return PhaseLog(
+        t_elapsed=a.t_elapsed + b.t_elapsed,
+        ts=list(a.ts) + list(b.ts),
+        its=a.its + b.its,
+        c_dot_Dz=list(a.c_dot_Dz) + list(b.c_dot_Dz),
+        t_begin=a.t_begin,
+        t_end=b.t_end,
+        converged=a.converged and b.converged,
+    )
+
+
 def _get_ctx(geometry, spec, barrier, c, **kw):
     """Geometry-attached _SolverCtx cache.
 
@@ -855,6 +915,7 @@ def amgb(
     newton_cap: int = 200,
     aux=None,
     z0=None,
+    mixed: Optional[bool] = None,
     **_ignored,
 ):
     """Solve the barrier problem on `geometry`.
@@ -975,6 +1036,97 @@ def amgb(
         z = z_aug[:, : spec.nfields]
 
     # ---- Phase 2: main ------------------------------------------------------
+    # Mixed-precision path following (TPU lever: f64 is software-emulated on
+    # the v5e VPU/MXU while f32 runs at native rate and half the HBM bytes).
+    # The early central path needs no f64: at t <= t_switch the barrier
+    # margins are ~1/t, comfortably above f32 eps, and the
+    # path-following iterates only need theta-centering (lam <= 0.25).  So
+    # the t <= t_switch leg runs entirely in float32 and hands its iterate
+    # to the f64 context, which re-centers (a couple of Newton steps) and
+    # finishes the path to t_end = 1/tol at the full f64 contract.  The
+    # final solution accuracy is set by the f64 endgame alone.
+    if mixed is None:
+        # engage only when the fine level solves via MG-CG: below the
+        # dense threshold the whole problem is sub-second in f64 and the
+        # dense-Cholesky fine direction degrades in f32 (measured: fem2d
+        # L=4 spends ~40 extra recentering iterations at the handoff)
+        m_fine = geometry.bases[subspace][-1].m
+        mixed = (
+            dtype == jnp.float64
+            and linear_solver is None
+            and spec.nfields * m_fine > geometry.backend.dense_threshold
+            and os.environ.get("MGB_F32_EARLY", "1") != "0"
+        )
+    # Switch point: constraint margins along the path are ~1/t, so t = 1e5
+    # keeps the f32 leg ~100x above f32 eps (1.2e-7).  Measured on fem2d
+    # L=5: t_switch=1e5 leaves only ~8 f64 fine-level Newton steps (vs 43
+    # in a pure-f64 run) at +4 total iterations and objective agreement at
+    # the duality-gap scale (~1e-5 relative).
+    t_switch = float(os.environ.get("MGB_T_SWITCH", "1e5")) if mixed else 0.0
+    SOL_early = None
+    t_orig, z_orig = t, z
+    if mixed and t < t_switch and t_end > 10.0 * t_switch:
+        g32 = _f32_twin(geometry)
+        x32 = x.astype(jnp.float32)
+        ctx32 = _get_ctx(
+            g32,
+            spec,
+            Qset.barrier,
+            c.astype(jnp.float32),
+            subspace=subspace,
+            x=x32,
+            newton_cap=newton_cap,
+        )
+        z_pre = z  # strictly feasible phase-2 entry iterate (fallback anchor)
+        try:
+            z32, SOL_early, log_a = _path_follow(
+                ctx32,
+                jnp.asarray(z, dtype=jnp.float32),
+                t,
+                t_switch,
+                kappa,
+                maxit,
+                theta=0.25,
+                final_lam2=0.0625,
+                verbose=verbose,
+                logfile=logfile,
+                phase="main",
+            )
+            z64 = jnp.asarray(z32, dtype=dtype)
+            # Handoff feasibility guard: margins at t_switch are ~1/t_switch,
+            # the same order as f32 rounding noise on O(1) cone rows, so the
+            # cast iterate can land (barely) OUTSIDE the cone, where the f64
+            # barrier is NaN and every Newton step diverges.  The margin
+            # (slack) is concave, so blending toward the strictly feasible
+            # entry iterate re-enters the interior for small violations.
+            def _feasible64(zz):
+                yy = _apply_D(ops, spec, zz)
+                return bool(
+                    jnp.isfinite(
+                        _masked_wsum(w, jax.vmap(Qset.barrier)(x, yy))
+                    )
+                )
+
+            for theta_blend in (0.0, 1e-4, 1e-3, 1e-2, 1e-1):
+                z_try = (
+                    z64
+                    if theta_blend == 0.0
+                    else (1.0 - theta_blend) * z64 + theta_blend * z_pre
+                )
+                if _feasible64(z_try):
+                    z = geometry.backend.shard_rows(z_try)
+                    t = t_switch
+                    log.extend(log_a)
+                    maxit = max(maxit - int(SOL_early.its.sum()), 100)
+                    break
+            else:
+                SOL_early = None  # unrecoverable cast: full-f64 path
+        except AMGBConvergenceFailure:
+            # f32 leg hit its precision floor early: restart the full-f64
+            # path from the original iterate (correctness over speed)
+            SOL_early = None
+        if SOL_early is None:
+            z = z_pre
     ctx2 = _get_ctx(
         geometry,
         spec,
@@ -985,20 +1137,46 @@ def amgb(
         x=x,
         newton_cap=newton_cap,
     )
-    z, SOL_main, log2 = _path_follow(
-        ctx2,
-        z,
-        t,
-        t_end,
-        kappa,
-        maxit,
-        theta=0.25,
-        final_lam2=tol ** 2 * 100.0,
-        verbose=verbose,
-        logfile=logfile,
-        phase="main",
-    )
+    try:
+        z, SOL_main, log2 = _path_follow(
+            ctx2,
+            z,
+            t,
+            t_end,
+            kappa,
+            maxit,
+            theta=0.25,
+            final_lam2=tol ** 2 * 100.0,
+            verbose=verbose,
+            logfile=logfile,
+            phase="main",
+            # resuming from the f32 leg's centered iterate: the FMG coarse
+            # sweep's job (getting ONTO the central path) is already done
+            start_fine=SOL_early is not None,
+        )
+    except AMGBConvergenceFailure:
+        if SOL_early is None:
+            raise
+        # The resumed leg starts at t_switch with no smaller successful t to
+        # retreat to; if recentering the f32 handoff fails outright, rerun
+        # the whole phase in f64 (the escalation ladder then has full room).
+        SOL_early = None
+        z, SOL_main, log2 = _path_follow(
+            ctx2,
+            z_orig,
+            t_orig,
+            t_end,
+            kappa,
+            maxit,
+            theta=0.25,
+            final_lam2=tol ** 2 * 100.0,
+            verbose=verbose,
+            logfile=logfile,
+            phase="main",
+        )
     log.extend(log2)
+    if SOL_early is not None:
+        SOL_main = _merge_phase_logs(SOL_early, SOL_main)
 
     return AMGBSOL(
         z=z,
