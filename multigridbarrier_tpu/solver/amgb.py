@@ -220,6 +220,7 @@ class _SolverCtx:
         cg_rtol: float = 1e-9,
         cg_maxiter: int = 400,
         newton_cap: int = 200,
+        newton_patience: Optional[int] = None,
     ):
         self.geometry = geometry
         self.spec = spec
@@ -232,6 +233,13 @@ class _SolverCtx:
         self.cg_rtol = cg_rtol
         self.cg_maxiter = cg_maxiter
         self.newton_cap = newton_cap
+        # Patience soft-accept is DISABLED by default (0): measured on
+        # fem2d L=6, truncating a moderately-centered creep just moves the
+        # grind to the next t (266 its / worse objective / 2x wall vs 299
+        # its without).  The env knob remains for experiments.
+        if newton_patience is None:
+            newton_patience = int(os.environ.get("MGB_NEWTON_PATIENCE", "0"))
+        self.newton_patience = newton_patience
 
         g = geometry
         self.levels = len(g.bases[subspace])
@@ -340,8 +348,11 @@ class _SolverCtx:
 
         n_smooth = max(1, len(sub_levels) - 1)
 
-        def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs):
+        def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs, cg_eta):
             # Ps/bases: per-sublevel element tensors (finest = Ps[-1]).
+            # cg_eta: forcing term for this step's linear solve (currently
+            # constant = cg_rtol; see the measured rejection of adaptive
+            # loosening in _build_loop).
             Pl, idx = Ps[-1], bases[-1].idx
             nelem = Pl.shape[0]
             y = _apply_D(ops, spec, z)
@@ -384,12 +395,12 @@ class _SolverCtx:
             elif use_dense:
                 dvp = dense_solve(systems[-1], nf, -gv)
             else:
-                dvp, cg_iters, _, lmaxs_new = mgcg_solve(
+                dvp, cg_iters, cg_rel, lmaxs_new = mgcg_solve(
                     systems,
                     embeds,
                     -gv,
                     nf,
-                    rtol=cg_rtol,
+                    rtol=cg_eta,
                     maxiter=cg_maxiter,
                     lmaxs_in=lmaxs,
                 )
@@ -449,6 +460,7 @@ class _SolverCtx:
         is one MPI collective sequence per iteration, SURVEY.md §3.4)."""
         raw = self._build_step(level)
         cap = self.newton_cap
+        patience = self.newton_patience
 
         def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2):
             dtype = z0.dtype
@@ -472,8 +484,17 @@ class _SolverCtx:
 
             def body(s):
                 z, k, tr = s["z"], s["k"], s["tr"]
+                # Constant tight forcing term.  Eisenstat-Walker-style
+                # loosening (eta ~ 0.1 in the damped phase) was measured
+                # and REJECTED: on barrier Hessians a sloppy direction
+                # points into the cone boundary, the line search collapses
+                # to alpha ~ 1e-3, and the damped phase takes 2-4x more
+                # Newton iterations (fem2d L=5: 251 vs 111 fine its) while
+                # converging LESS deep.  Inexactness is already handled
+                # adaptively by mgcg_solve's q-stagnation exit.
+                eta = jnp.asarray(self.cg_rtol, dtype=dtype)
                 z_new, lam2, alpha, phi0, cy, dphi, lmax_new = raw(
-                    Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"]
+                    Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"], eta
                 )
                 tr = dict(
                     lam2=tr["lam2"].at[k].set(lam2),
@@ -514,7 +535,18 @@ class _SolverCtx:
                 # Stalling early is cheap — path continuation self-corrects.
                 floor = 64.0 * eps * (jnp.abs(phi0) + 1.0)
                 stall_floor = (k >= 2) & (jnp.max(jnp.abs(dphi3)) <= floor)
-                stall = stall_quad | stall_floor
+                # Patience bound: once moderately centered (lam <= 5), a
+                # long monotone creep adds accuracy only at the 4th-5th
+                # decimal of the objective (measured fem2d L=6: 95 creep
+                # iterations at t=1e6 bought 6e-5 relative) — path
+                # continuation self-corrects, so accept and move t instead
+                # of grinding.  Far-off iterates (lam2 > 25, e.g. a
+                # mixed-precision handoff) are exempt: accepting those
+                # abandons the path.
+                patient = (
+                    (patience > 0) & (k + 1 >= patience) & (lam2 <= 25.0)
+                )
+                stall = stall_quad | stall_floor | patient
                 capped = k + 1 >= cap
                 code = jnp.where(
                     nanv,
@@ -580,6 +612,7 @@ class _SolverCtx:
             z,
             jnp.asarray(t, dtype=z.dtype),
             jnp.zeros(n_smooth, dtype=z.dtype),
+            jnp.asarray(self.cg_rtol, dtype=z.dtype),
         )
         return out[:6]
 
@@ -879,6 +912,7 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
         kw.get("subspace", "dirichlet"),
         kw.get("linear_solver"),
         kw.get("newton_cap", 50),
+        int(os.environ.get("MGB_NEWTON_PATIENCE", "0")),
         None if x is None else x.shape[1],
     )
     ctx = cache.get(key)
@@ -1046,16 +1080,19 @@ def amgb(
     # finishes the path to t_end = 1/tol at the full f64 contract.  The
     # final solution accuracy is set by the f64 endgame alone.
     if mixed is None:
-        # engage only when the fine level solves via MG-CG: below the
-        # dense threshold the whole problem is sub-second in f64 and the
-        # dense-Cholesky fine direction degrades in f32 (measured: fem2d
-        # L=4 spends ~40 extra recentering iterations at the handoff)
+        # DEFAULT OFF.  With the quadratic-model CG (honest convergence)
+        # the handoff recentering costs MORE f64 Newton iterations than the
+        # f32 leg saves (measured fem2d L=6: mixed 305 f64 fine its landing
+        # 4e-4 off, vs pure 268) — the f32 leg's centering error is too
+        # large for the endgame to absorb cheaply.  Opt in explicitly with
+        # mixed=True or MGB_F32_EARLY=1; the engagement preconditions below
+        # still apply.
         m_fine = geometry.bases[subspace][-1].m
         mixed = (
             dtype == jnp.float64
             and linear_solver is None
             and spec.nfields * m_fine > geometry.backend.dense_threshold
-            and os.environ.get("MGB_F32_EARLY", "1") != "0"
+            and os.environ.get("MGB_F32_EARLY", "0") == "1"
         )
     # Switch point: constraint margins along the path are ~1/t, so t = 1e5
     # keeps the f32 leg ~100x above f32 eps (1.2e-7).  Measured on fem2d

@@ -23,6 +23,7 @@ zero pad slot per field (see runtime/elements.py).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -76,6 +77,24 @@ def hvp(sys_: LevelSystem, vp: jnp.ndarray) -> jnp.ndarray:
     ve = ve.transpose(1, 0, 2).reshape(nelem, nf * nl)
     hve = jnp.einsum("eab,eb->ea", He, ve)
     flat = hve.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
+    return _node_sum(sys_, flat).T
+
+
+def hvp_lane(He_lane: jnp.ndarray, sys_: LevelSystem, vp: jnp.ndarray):
+    """H @ v with He stored lane-major (C, C, nelem): the contraction
+    becomes C^2 lane-wise FMAs over nelem-long vectors instead of a batched
+    tiny matmul padded to MXU tiles.  Measured on TPU v5e at fem2d L=7
+    (tools/bench_hvp.py): f64 4.7ms vs 9.6ms batched — the f64 CG operator
+    Aop is the single most expensive op per CG iteration, so mgcg_solve
+    uses this form for float64 systems (f32 shows no difference; the
+    V-cycle keeps the batched layout)."""
+    idx, m = sys_.idx, sys_.m
+    nelem, nl = idx.shape
+    nf = vp.shape[0]
+    ve = vp[:, idx]  # (nf, nelem, nl)
+    ve = ve.transpose(1, 0, 2).reshape(nelem, nf * nl).T  # (C, nelem)
+    hve = jnp.einsum("abe,be->ae", He_lane, ve)  # (C, nelem)
+    flat = hve.reshape(nf, nl, nelem).transpose(2, 1, 0).reshape(-1, nf)
     return _node_sum(sys_, flat).T
 
 
@@ -224,7 +243,7 @@ def vcycle(
     dinvs: Sequence[jnp.ndarray],
     lmaxs: Sequence[jnp.ndarray],
     embeds: Sequence,
-    coarse_cf,
+    coarse_solve,
     bp: jnp.ndarray,
     nf: int,
     degree: int = 3,
@@ -233,21 +252,16 @@ def vcycle(
     `systems`.
 
     embeds[i]: inclusion of level-i subspace into level-(i+1) (the
-    geometry's `embed['dirichlet']`, nested by construction).  coarse_cf is
-    the prefactored Cholesky of the coarsest dense matrix.  Because every
+    geometry's `embed['dirichlet']`, nested by construction; any object
+    with matvec/rmatvec).  coarse_solve(bp_0) -> x_0 solves the coarsest
+    level exactly (typically a prefactored f64 Cholesky).  Because every
     level's inclusion targets the same broken space, these rediscretized
     coarse operators ARE the Galerkin operators (linsolve module doc)."""
 
     def cycle(l, bp_l):
         sys_l, dinv_l, lmax_l = systems[l], dinvs[l], lmaxs[l]
         if l == 0:
-            # the dense coarse factor may be f64 while the cycle runs f32
-            # (mixed-precision preconditioning): solve at factor precision,
-            # return at cycle precision
-            x = jax.scipy.linalg.cho_solve(
-                coarse_cf, bp_l.reshape(-1).astype(coarse_cf[0].dtype)
-            ).astype(bp_l.dtype)
-            return x.reshape(nf, sys_l.m + 1).at[:, sys_l.m].set(0.0)
+            return coarse_solve(bp_l)
         xp = chebyshev(
             sys_l, dinv_l, lmax_l, jnp.zeros_like(bp_l), bp_l, degree
         )
@@ -267,6 +281,25 @@ def vcycle(
     return cycle(len(systems) - 1, bp)
 
 
+class _ScaledTransfer(NamedTuple):
+    """Level transfer conjugated by the symmetric Jacobi scalings.
+
+    If Hhat_l = S_l H_l S_l with S_l = diag(d_l^{-1/2}), the prolongation
+    that preserves the Galerkin relation Hhat_c = Ehat' Hhat_f Ehat is
+    Ehat = S_f^{-1} E S_c (elementwise scale -> E -> scale).  Node-major
+    operands (m, nf) to match vcycle's usage of Ell.matvec/rmatvec."""
+
+    E: object
+    sc: jnp.ndarray  # (m_c, nf)  S_c diagonal
+    sf_inv: jnp.ndarray  # (m_f, nf)  S_f^{-1} diagonal
+
+    def matvec(self, xc):  # (m_c, nf) -> (m_f, nf)
+        return self.E.matvec(self.sc * xc) * self.sf_inv
+
+    def rmatvec(self, rf):  # (m_f, nf) -> (m_c, nf)
+        return self.E.rmatvec(self.sf_inv * rf) * self.sc
+
+
 def mgcg_solve(
     systems: Sequence[LevelSystem],
     embeds: Sequence,
@@ -284,21 +317,24 @@ def mgcg_solve(
     Barrier Hessians become *numerically singular* along the central path
     (scaled lambda_min -> machine eps as t grows); a direct factorization
     (the reference's MUMPS, SURVEY.md §3.5) shrugs this off via backward
-    stability, an iterative method cannot.  Two countermeasures make MG-CG
-    a drop-in replacement:
+    stability, an iterative method cannot.  Three countermeasures make
+    MG-CG a drop-in replacement:
 
-    * Best-iterate tracking with stagnation cut-off: CG returns the lowest-
-      residual iterate seen, stopping after `stagnation` non-improving
-      steps, so a stalled solve still yields a usable descent direction
-      (CG iterates stay in the Krylov range-space, so near-singularity
-      degrades convergence rather than corrupting the direction).
+    * Jacobi-prescaled f32 V-cycle (see the scaling comment in the body):
+      keeps the mixed-precision preconditioner positive definite at any
+      path conditioning.
+    * Quadratic-model progress tracking with breakdown/stagnation exits
+      (see the loop comment): every healthy iterate is a descent direction
+      carrying the captured Newton decrement; breakdown returns the last
+      valid iterate (the zero vector only at the genuine f64 floor, where
+      a zero Newton step is the converged state).
     * Optional Levenberg shift (H + shift*diag(H)); default 0 — a shift
       damps exactly the near-null Newton components that carry the
       remaining decrement (see dense_solve docstring), so it is reserved
       for callers that hit genuine breakdowns.
 
-    Returns (xp, iterations, relative_residual of best iterate).  Static
-    shapes; the loop is a lax.while_loop with no host syncs.
+    Returns (xp, iterations, relative_residual at exit).  Static shapes;
+    the loop is a lax.while_loop with no host syncs.
     """
     fine = systems[-1]
     diag_fine = diag_of(fine)
@@ -331,76 +367,183 @@ def mgcg_solve(
 
     sh = jnp.asarray(shift, dtype=bp.dtype)
 
+    # lane-major He for the f64 operator (see hvp_lane); transposed once per
+    # Newton step, amortized over every CG iteration's Aop
+    use_lane = bp.dtype == jnp.float64 and (
+        os.environ.get("MGB_LANE_AOP", "1") != "0"
+    )
+    He_lane = jnp.transpose(fine.He, (1, 2, 0)) if use_lane else None
+
     def Aop(v):
-        return hvp(fine, v) + sh * diag_fine * v
+        hv = hvp_lane(He_lane, fine, v) if use_lane else hvp(fine, v)
+        return hv + sh * diag_fine * v
 
     # Mixed precision: the preconditioner only steers the Krylov space, so
     # its smoothing sweeps run in float32 (native TPU rate; f64 is emulated)
-    # while CG residuals/updates stay f64 — the converged accuracy is set by
-    # the f64 outer iteration, the f32 inner pass just makes it cheap.
-    f32 = bp.dtype == jnp.float64
-    if f32:
-        systems32 = [
-            s._replace(He=s.He.astype(jnp.float32)) for s in systems
-        ]
-        dinvs32 = [d.astype(jnp.float32) for d in dinvs]
-        lmaxs32 = [l.astype(jnp.float32) for l in lmaxs]
+    # while CG residuals/updates stay at solve precision — the converged
+    # accuracy is set by the outer iteration, the f32 inner pass just makes
+    # it cheap.
+    #
+    # Symmetric Jacobi pre-scaling BEFORE the f32 cast is what keeps this
+    # sound along the whole central path: unscaled barrier Hessians span
+    # 1e6+ in magnitude, and rounding them to f32 perturbs eigenvalues by
+    # ~eps32*lmax — below zero once cond exceeds ~1e7 — making the V-cycle
+    # indefinite and CG break down (measured via tools/debug_handoff.py:
+    # negative pAp/rz at t >= 1e6).  Scaling each level to unit diagonal,
+    # Hhat_l = S_l H_l S_l with S_l = diag(d_l)^{-1/2}, bounds the f32
+    # representation error by eps32*O(1); the cycle on Hhat (with
+    # scaling-conjugated transfers, see _ScaledTransfer) is the exact
+    # similarity transform of the unscaled cycle, so convergence theory and
+    # the lmax estimates (spectra are similar) carry over unchanged, and
+    #     H^{-1} = S_f Vhat S_f
+    # turns the scaled cycle back into an SPD preconditioner for H.
+    f32c = jnp.float32
+    use_scaled = os.environ.get("MGB_SCALED_PRECOND", "1") != "0"
+    m0 = systems[0].m
+    if use_scaled:
+        svecs = [jnp.sqrt(d) for d in dinvs]  # (nf, m+1) S_l diagonals
+        systems32 = []
+        for s_, sv in zip(systems, svecs):
+            nelem_l, nl_l = s_.idx.shape
+            se = sv[:, s_.idx]  # (nf, nelem, nl)
+            se = se.transpose(1, 0, 2).reshape(nelem_l, nf * nl_l)
+            He_hat = (s_.He * se[:, :, None] * se[:, None, :]).astype(f32c)
+            systems32.append(s_._replace(He=He_hat))
+        dinvs32 = [jnp.asarray(1.0, dtype=f32c)] * len(systems)  # unit diag
+        lmaxs32 = [l.astype(f32c) for l in lmaxs]
+        sv32 = [sv.astype(f32c) for sv in svecs]
         embeds32 = [
-            type(E)(
-                cols=E.cols, vals=E.vals.astype(jnp.float32), shape=E.shape
+            _ScaledTransfer(
+                E=E,
+                sc=sv32[i][:, : systems[i].m].T,
+                sf_inv=(1.0 / sv32[i + 1][:, : systems[i + 1].m]).T,
             )
+            for i, E in enumerate(embeds)
+        ]
+        s0_inv = 1.0 / svecs[0]  # = sqrt(diag_0), (nf, m0+1)
+        s_fine = svecs[-1]
+    else:  # unscaled cast (round-1 behavior; kept for A/B diagnosis)
+        systems32 = [
+            s._replace(He=s.He.astype(f32c)) for s in systems
+        ]
+        dinvs32 = [d.astype(f32c) for d in dinvs]
+        lmaxs32 = [l.astype(f32c) for l in lmaxs]
+        embeds32 = [
+            type(E)(cols=E.cols, vals=E.vals.astype(f32c), shape=E.shape)
             for E in embeds
         ]
-    else:
-        systems32, dinvs32, lmaxs32, embeds32 = systems, dinvs, lmaxs, embeds
+        s0_inv = None
+        s_fine = None
+
+    def coarse_solve(bp0_hat):
+        # Hhat_0^{-1} = S_0^{-1} H_0^{-1} S_0^{-1}; the factor is the
+        # UNSCALED f64 Cholesky, so the exact coarse solve is untouched by
+        # the scaling (solve at factor precision, return at cycle precision)
+        if use_scaled:
+            r = (bp0_hat.astype(s0_inv.dtype) * s0_inv).reshape(-1)
+            x = jax.scipy.linalg.cho_solve(
+                coarse_cf, r.astype(coarse_cf[0].dtype)
+            ).astype(s0_inv.dtype)
+            x = (x.reshape(nf, m0 + 1) * s0_inv).astype(f32c)
+        else:
+            x = jax.scipy.linalg.cho_solve(
+                coarse_cf, bp0_hat.reshape(-1).astype(coarse_cf[0].dtype)
+            ).astype(f32c).reshape(nf, m0 + 1)
+        return x.at[:, m0].set(0.0)
 
     def precond(r):
-        r32 = r.astype(jnp.float32) if f32 else r
+        rhat = ((r * s_fine) if use_scaled else r).astype(f32c)
         out = vcycle(
             systems32,
             dinvs32,
             lmaxs32,
             embeds32,
-            coarse_cf,
-            r32,
+            coarse_solve,
+            rhat,
             nf,
             degree=degree,
         )
-        return out.astype(bp.dtype)
+        out = out.astype(bp.dtype)
+        return s_fine * out if use_scaled else out
 
     b2 = jnp.vdot(bp, bp)
     eps = jnp.asarray(jnp.finfo(bp.dtype).tiny, dtype=bp.dtype)
+
+    # Progress is measured by the QUADRATIC MODEL q(x) = x'Hx/2 - b'x, not
+    # by the residual norm.  Healthy PCG decreases q monotonically by
+    # dq = rz^2/(2 pAp) per step even while ||r|| wanders above ||b|| for
+    # dozens of iterations (measured on barrier endgame systems,
+    # tools/debug_handoff.py), and -2q is exactly the captured Newton
+    # decrement — so the last healthy iterate is ALWAYS the right thing to
+    # return, with b'x > 0 guaranteeing a descent direction.  Residual-based
+    # best-iterate tracking (the round-1 design) returned the ZERO vector on
+    # wandering-but-solvable systems, silently no-op'ing the Newton step.
+    #
+    # Exits:
+    # * converged: recursive residual below rtol*||b||.
+    # * breakdown (healthy=False): pAp or rz non-positive — the
+    #   preconditioner or H itself lost positive-definiteness at working
+    #   precision (the deep f64 floor, cond ~ 1/eps).  The guarded update
+    #   (alpha = 0 on a bad step) means x is still the last valid iterate;
+    #   at the genuine floor that is the zero vector, and a zero Newton
+    #   step there IS the converged state (_path_follow stop-code
+    #   semantics).
+    # * q-stagnation: `stagnation` consecutive steps each capturing less
+    #   than q_eps of the accumulated decrement — nothing more is
+    #   extractable at working precision; return what was captured.
+    # * floor bail: at cond(H) ~ 1/eps the recursive residual decouples
+    #   from the true one and fake q-decrements accumulate forever (rounding
+    #   noise), so CG would burn maxiter.  The floor's observable signature
+    #   is the residual never dropping below ||b|| (solvable-hard systems
+    #   dip below by ~iteration 17, measured); bail at `floor_cap` in that
+    #   case and return the CURRENT iterate — if it is garbage the line
+    #   search rejects it and the Newton loop reports an explicit LOCKED,
+    #   never a silent no-op.
+    q_eps = jnp.asarray(1e-5, dtype=bp.dtype)
+    floor_cap = max(2 * stagnation, 32)
 
     x0 = jnp.zeros_like(bp)
     r0 = bp
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
-    state0 = (x0, r0, p0, rz0, 0, x0, b2, 0)
+    q0 = jnp.asarray(0.0, dtype=bp.dtype)
+    healthy0 = (rz0 > 0) & jnp.isfinite(rz0)
+    state0 = (x0, r0, p0, rz0, 0, q0, 0, healthy0, b2)
 
     def cond(state):
-        x, r, p, rz, it, xb, rb2, stag = state
+        x, r, p, rz, it, q, stagq, healthy, rb2 = state
         converged = jnp.vdot(r, r) <= rtol * rtol * b2 + eps
-        return (~converged) & (it < maxiter) & (stag < stagnation)
+        at_floor = (rb2 >= b2) & (it >= floor_cap)
+        return (
+            (~converged)
+            & healthy
+            & (~at_floor)
+            & (it < maxiter)
+            & (stagq < stagnation)
+        )
 
     def body(state):
-        x, r, p, rz, it, xb, rb2, stag = state
+        x, r, p, rz, it, q, stagq, healthy, rb2 = state
         Ap = Aop(p)
         pAp = jnp.vdot(p, Ap)
-        alpha = rz / (pAp + eps)
+        ok_step = (pAp > 0) & (rz > 0) & jnp.isfinite(pAp)
+        alpha = jnp.where(ok_step, rz / (pAp + eps), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        r2 = jnp.vdot(r, r)
-        better = r2 < rb2
-        xb = jnp.where(better, x, xb)
-        rb2 = jnp.where(better, r2, rb2)
-        stag = jnp.where(better, 0, stag + 1)
+        rb2 = jnp.minimum(rb2, jnp.vdot(r, r))
+        dq = 0.5 * alpha * rz  # q decrease this step; >= 0 by construction
+        q = q - dq
+        stagq = jnp.where(dq > q_eps * (-q) + eps, 0, stagq + 1)
         z = precond(r)
         rz_new = jnp.vdot(r, z)
+        healthy = ok_step & (rz_new > 0) & jnp.isfinite(rz_new)
         beta = rz_new / (rz + eps)
         p = z + beta * p
-        return x, r, p, rz_new, it + 1, xb, rb2, stag
+        return x, r, p, rz_new, it + 1, q, stagq, healthy, rb2
 
-    x, r, p, rz, it, xb, rb2, stag = jax.lax.while_loop(cond, body, state0)
-    rel = jnp.sqrt(rb2 / (b2 + eps))
-    return xb.at[:, fine.m].set(0.0), it, rel, lmaxs_out
+    x, r, p, rz, it, q, stagq, healthy, rb2 = jax.lax.while_loop(
+        cond, body, state0
+    )
+    rel = jnp.sqrt(jnp.vdot(r, r) / (b2 + eps))
+    return x.at[:, fine.m].set(0.0), it, rel, lmaxs_out

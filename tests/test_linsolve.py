@@ -17,6 +17,7 @@ from multigridbarrier_tpu.solver.linsolve import (
     dense_solve,
     diag_of,
     hvp,
+    hvp_lane,
     lambda_max_est,
     mgcg_solve,
 )
@@ -68,6 +69,19 @@ def test_hvp_matches_dense():
     ref = (H @ np.asarray(v).reshape(-1)).reshape(nf, m + 1)
     ref[:, m] = 0.0
     np.testing.assert_allclose(hv, ref, atol=1e-12)
+
+
+def test_hvp_lane_matches_hvp():
+    sys_ = _rand_level_system(jax.random.PRNGKey(9))
+    nf, m = 2, sys_.m
+    v = jax.random.normal(jax.random.PRNGKey(10), (nf, m + 1), dtype=jnp.float64)
+    v = v.at[:, m].set(0.0)
+    He_lane = jnp.transpose(sys_.He, (1, 2, 0))
+    np.testing.assert_allclose(
+        np.asarray(hvp_lane(He_lane, sys_, v)),
+        np.asarray(hvp(sys_, v)),
+        atol=1e-12,
+    )
 
 
 def test_diag_of_matches_dense():
@@ -124,3 +138,31 @@ def test_mgcg_on_spd_system():
     xd = dense_solve(systems[-1], nf, bp)
     np.testing.assert_allclose(np.asarray(x), np.asarray(xd), atol=1e-9)
     assert float(rel) < 1e-10
+
+
+def test_mgcg_stagnation_cannot_return_zero():
+    # Regression (mixed-precision handoff no-op): on a solvable SPD system
+    # the solver must return a genuine DESCENT direction (b'x > 0 — the
+    # captured Newton decrement) even under an aggressive stagnation
+    # setting.  The round-1 residual-based best-iterate design returned the
+    # zero vector whenever the residual wandered above ||b|| past the
+    # stagnation window, silently no-op'ing the Newton step.
+    g = mgb.fem2d(L=2)
+    lb = g.bases["dirichlet"]
+    nf = 1
+    systems = []
+    for lvl in range(2):
+        basis = lb[lvl]
+        nelem, nq, nl = basis.rloc.shape
+        w_e = jnp.asarray(np.asarray(g.w).reshape(nelem, nq))
+        He = jnp.einsum("eqa,eq,eqb->eab", basis.rloc, w_e, basis.rloc)
+        systems.append(LevelSystem(He, basis.idx, basis.m))
+    m = lb[1].m
+    rng = np.random.default_rng(7)
+    bp = jnp.zeros((nf, m + 1), dtype=jnp.float64)
+    bp = bp.at[:, :m].set(jnp.asarray(rng.standard_normal((nf, m))))
+    x, its, rel, _ = mgcg_solve(
+        systems, g.embed["dirichlet"][:1], bp, nf, rtol=1e-12, stagnation=1
+    )
+    assert float(rel) < 1.0
+    assert float(jnp.vdot(bp, x)) > 0.0  # descent direction
