@@ -218,7 +218,7 @@ class _SolverCtx:
         linear_solver: Optional[Callable] = None,
         x=None,
         cg_rtol: float = 1e-9,
-        cg_maxiter: int = 400,
+        cg_maxiter: int = 200,
         newton_cap: int = 200,
         newton_patience: Optional[int] = None,
     ):
@@ -240,6 +240,8 @@ class _SolverCtx:
         if newton_patience is None:
             newton_patience = int(os.environ.get("MGB_NEWTON_PATIENCE", "0"))
         self.newton_patience = newton_patience
+        # device-kernel chunk size for the Newton loop (see _build_loop)
+        self.newton_chunk = int(os.environ.get("MGB_NEWTON_CHUNK", "4"))
 
         g = geometry
         self.levels = len(g.bases[subspace])
@@ -445,7 +447,7 @@ class _SolverCtx:
             # a broken solve; 0 * NaN would corrupt z
             z_new = jnp.where(alpha > 0, z + alpha * dz, z)
             dphi = jnp.where(alpha > 0, dphia, 0.0)
-            return z_new, lam2, alpha, phi0, cy, dphi, lmaxs_new
+            return z_new, lam2, alpha, phi0, cy, dphi, lmaxs_new, cg_iters
 
         step.n_smooth = n_smooth
         return step
@@ -454,33 +456,50 @@ class _SolverCtx:
     RUNNING, CONVERGED, LOCKED, STALLED, DIVERGED, CAPPED = 0, 1, 2, 3, 4, 5
 
     def _build_loop(self, level: int):
-        """Jit the whole per-level Newton iteration: one device round-trip
-        per (t, level) instead of per Newton step (the tunnel/dispatch
-        latency would otherwise dominate on TPU — the reference's analogue
-        is one MPI collective sequence per iteration, SURVEY.md §3.4)."""
+        """Jit the per-level Newton iteration in resumable device chunks:
+        one device round-trip per `newton_chunk` Newton steps instead of
+        per step (tunnel/dispatch latency would otherwise dominate on TPU
+        — the reference's analogue is one MPI collective sequence per
+        iteration, SURVEY.md §3.4) and instead of per (t, level) (a
+        monolithic kernel trips the shared TPU worker's long-kernel
+        watchdog; see the chunking comment below)."""
         raw = self._build_step(level)
-        cap = self.newton_cap
         patience = self.newton_patience
+        # Chunked execution: each device call runs at most `chunk` Newton
+        # iterations; run_level resumes from the host until a stop code.
+        # One monolithic while_loop per (t, level) produced device kernels
+        # running for minutes at L>=7 with the quadratic-model CG, and the
+        # shared TPU worker kills long-running kernels ("kernel fault",
+        # reproducible at L=7 t=10 and the round-1 L=8 warmup).  The extra
+        # host syncs cost ~RTT per chunk (30-100ms via the tunnel) — noise
+        # against the chunk's device time.  The first HIST slots of each
+        # trace array carry the previous chunk's tail so the stall windows
+        # see continuous history; kg0 is the global iteration offset that
+        # keeps their warm-up guards global.
+        chunk = self.newton_chunk
+        HIST = 5
 
-        def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2):
+        def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2, lmax0,
+                 hist0, kg0):
             dtype = z0.dtype
             tr0 = {
-                k: jnp.zeros(cap, dtype=dtype)
-                for k in ("lam2", "alpha", "phi", "dphi", "cy")
+                key: jnp.zeros(chunk + HIST, dtype=dtype).at[:HIST].set(
+                    hist0[key]
+                )
+                for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits")
             }
             state0 = dict(
                 z=z0,
-                k=jnp.asarray(0, jnp.int32),
+                k=jnp.asarray(HIST, jnp.int32),
                 code=jnp.asarray(0, jnp.int32),
                 tr=tr0,
-                # smoother eigenvalue estimates, computed on the first
-                # iteration of this level run and reused after (<= 0 means
-                # "estimate now")
-                lmax=jnp.zeros(raw.n_smooth, dtype=dtype),
+                # smoother eigenvalue estimates, carried across chunks and
+                # across the level run (<= 0 means "estimate now")
+                lmax=lmax0,
             )
 
             def cond(s):
-                return s["code"] == 0
+                return (s["code"] == 0) & (s["k"] < chunk + HIST)
 
             def body(s):
                 z, k, tr = s["z"], s["k"], s["tr"]
@@ -493,7 +512,7 @@ class _SolverCtx:
                 # converging LESS deep.  Inexactness is already handled
                 # adaptively by mgcg_solve's q-stagnation exit.
                 eta = jnp.asarray(self.cg_rtol, dtype=dtype)
-                z_new, lam2, alpha, phi0, cy, dphi, lmax_new = raw(
+                z_new, lam2, alpha, phi0, cy, dphi, lmax_new, cgits = raw(
                     Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"], eta
                 )
                 tr = dict(
@@ -502,6 +521,9 @@ class _SolverCtx:
                     phi=tr["phi"].at[k].set(phi0),
                     dphi=tr["dphi"].at[k].set(dphi),
                     cy=tr["cy"].at[k].set(cy),
+                    cgits=tr["cgits"].at[k].set(
+                        cgits.astype(dtype)
+                    ),
                 )
                 # stop conditions (see _path_follow for semantics)
                 nanv = ~jnp.isfinite(lam2)
@@ -517,10 +539,11 @@ class _SolverCtx:
                 #   iterate far from the central path and silently returns
                 #   wrong solutions).  There, only a phi-progress floor
                 #   (decrease at the |phi|*eps noise level) counts.
+                kg = kg0 + (k - HIST)  # global iteration index
                 recent3 = jax.lax.dynamic_slice(tr["lam2"], (k - 2,), (3,))
                 prev3 = jax.lax.dynamic_slice(tr["lam2"], (k - 5,), (3,))
                 stall_quad = (
-                    (k >= 5)
+                    (kg >= 5)
                     & (lam2 <= 0.25)
                     & (jnp.min(recent3) >= 0.95 * jnp.min(prev3))
                 )
@@ -534,7 +557,7 @@ class _SolverCtx:
                 # iterations and hands off a WORSE-centered iterate).
                 # Stalling early is cheap — path continuation self-corrects.
                 floor = 64.0 * eps * (jnp.abs(phi0) + 1.0)
-                stall_floor = (k >= 2) & (jnp.max(jnp.abs(dphi3)) <= floor)
+                stall_floor = (kg >= 2) & (jnp.max(jnp.abs(dphi3)) <= floor)
                 # Patience bound: once moderately centered (lam <= 5), a
                 # long monotone creep adds accuracy only at the 4th-5th
                 # decimal of the objective (measured fem2d L=6: 95 creep
@@ -544,10 +567,11 @@ class _SolverCtx:
                 # mixed-precision handoff) are exempt: accepting those
                 # abandons the path.
                 patient = (
-                    (patience > 0) & (k + 1 >= patience) & (lam2 <= 25.0)
+                    (patience > 0) & (kg + 1 >= patience) & (lam2 <= 25.0)
                 )
                 stall = stall_quad | stall_floor | patient
-                capped = k + 1 >= cap
+                # (the newton_cap bound lives on the host in run_level; a
+                # chunk ending with code 0 simply resumes)
                 code = jnp.where(
                     nanv,
                     self.DIVERGED,
@@ -557,11 +581,7 @@ class _SolverCtx:
                         jnp.where(
                             conv,
                             self.CONVERGED,
-                            jnp.where(
-                                stall,
-                                self.STALLED,
-                                jnp.where(capped, self.CAPPED, self.RUNNING),
-                            ),
+                            jnp.where(stall, self.STALLED, self.RUNNING),
                         ),
                     ),
                 ).astype(jnp.int32)
@@ -570,16 +590,23 @@ class _SolverCtx:
                 )
 
             s = jax.lax.while_loop(cond, body, state0)
-            return s["z"], s["k"], s["code"], s["tr"]
+            kend = s["k"]
+            hist_out = {
+                key: jax.lax.dynamic_slice(s["tr"][key], (kend - HIST,), (HIST,))
+                for key in tr0
+            }
+            return s["z"], kend - HIST, s["code"], s["tr"], s["lmax"], hist_out
 
         return jax.jit(loop)
 
     def _sub_levels(self, level: int):
-        """MG-CG hierarchy for `level`: a 3-level cycle (Chebyshev on the
-        top two, exact dense solve two levels down at 1/16 the dofs)
-        preconditions as strongly as the full hierarchy here, and every
-        extra level adds fixed per-op latency to EVERY cycle application."""
-        mg_depth = 3
+        """MG-CG hierarchy for `level`: an mg_depth-level cycle (Chebyshev
+        smoothing on the upper levels, exact dense solve at the cycle's
+        coarsest).  Depth trades per-application op count (each level adds
+        fixed per-op latency to EVERY cycle) against cycle strength AND the
+        size of the dense coarse factorization (m shrinks 4x per level
+        down).  MGB_MG_DEPTH overrides for experiments."""
+        mg_depth = int(os.environ.get("MGB_MG_DEPTH", "3"))
         return list(range(max(0, level - (mg_depth - 1)), level + 1))
 
     def _level_args(self, level: int):
@@ -622,36 +649,71 @@ class _SolverCtx:
     _RETRYABLE = ("remote_compile", "read body", "UNAVAILABLE", "RESOURCE_EXHAUSTED")
 
     def run_level(self, level: int, z, t, theta2: float):
-        """Run the full Newton iteration at `level`; returns
-        (z, its, stop_code, traces) with one host sync."""
+        """Run the full Newton iteration at `level` in device chunks of
+        `newton_chunk` iterations (see _build_loop); returns
+        (z, its, stop_code, traces) with one host sync per chunk."""
         if level not in self._loops:
-            self._loops[level] = self._build_loop(level)
+            raw_loop = self._build_loop(level)
+            n_smooth = max(1, len(self._sub_levels(level)) - 1)
+            self._loops[level] = (raw_loop, n_smooth)
+        loop, n_smooth = self._loops[level]
         Ps, idxs, embeds, rloc = self._level_args(level)
         import time as _time
 
-        for attempt in range(3):
-            try:
-                z_out, its, code, tr = self._loops[level](
-                    Ps,
-                    idxs,
-                    embeds,
-                    rloc,
-                    self.x,
-                    self.w,
-                    self.c,
-                    z,
-                    jnp.asarray(t, dtype=z.dtype),
-                    jnp.asarray(theta2, dtype=z.dtype),
-                )
+        HIST = 5
+        dtype = z.dtype
+        t_arr = jnp.asarray(t, dtype=dtype)
+        th_arr = jnp.asarray(theta2, dtype=dtype)
+        lmax = jnp.zeros(n_smooth, dtype=dtype)
+        hist = {
+            key: jnp.zeros(HIST, dtype=dtype)
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits")
+        }
+        total = 0
+        code = self.RUNNING
+        parts = []
+        while True:
+            for attempt in range(3):
+                try:
+                    z, its, code, tr, lmax, hist = loop(
+                        Ps,
+                        idxs,
+                        embeds,
+                        rloc,
+                        self.x,
+                        self.w,
+                        self.c,
+                        z,
+                        t_arr,
+                        th_arr,
+                        lmax,
+                        hist,
+                        jnp.asarray(total, jnp.int32),
+                    )
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    msg = str(e)
+                    if attempt == 2 or not any(
+                        s in msg for s in self._RETRYABLE
+                    ):
+                        raise
+                    _time.sleep(10.0 * (attempt + 1))
+            its, code = int(its), int(code)
+            tr_host = jax.device_get(tr)
+            parts.append(
+                {key: v[HIST : HIST + its] for key, v in tr_host.items()}
+            )
+            total += its
+            if code != self.RUNNING:
                 break
-            except jax.errors.JaxRuntimeError as e:
-                msg = str(e)
-                if attempt == 2 or not any(
-                    s in msg for s in self._RETRYABLE
-                ):
-                    raise
-                _time.sleep(10.0 * (attempt + 1))
-        return z_out, int(its), int(code), jax.device_get(tr)
+            if total >= self.newton_cap:
+                code = self.CAPPED
+                break
+        tr_cat = {
+            key: np.concatenate([p[key] for p in parts])
+            for key in parts[0]
+        }
+        return z, total, code, tr_cat
 
     def warmup(self, z, t, theta2: float = 0.0625):
         """Compile every level's Newton-loop kernel concurrently.
@@ -766,6 +828,7 @@ def _path_follow(
                         alpha=float(tr["alpha"][i]),
                         phi=float(tr["phi"][i]),
                         dphi=float(tr["dphi"][i]),
+                        cgits=int(tr["cgits"][i]),
                     )
                 )
             if total > maxit:
@@ -913,6 +976,7 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
         kw.get("linear_solver"),
         kw.get("newton_cap", 50),
         int(os.environ.get("MGB_NEWTON_PATIENCE", "0")),
+        int(os.environ.get("MGB_NEWTON_CHUNK", "4")),
         None if x is None else x.shape[1],
     )
     ctx = cache.get(key)

@@ -185,38 +185,116 @@ def dense_solve(
 # ----------------------------------------------------------------------------
 
 
-def lambda_max_est(sys_: LevelSystem, dinv, iters: int = 6) -> jnp.ndarray:
-    """Estimate lambda_max(D^-1 H) by power iteration (deterministic start).
+def _as_apply(minv):
+    """Normalize a smoother preconditioner to a callable: either a diagonal
+    array ((nf, m+1) Jacobi) or an apply-callable (e.g. element Schwarz)."""
+    if callable(minv):
+        return minv
+    return lambda r: minv * r
+
+
+def lambda_max_est(sys_: LevelSystem, minv, iters: int = 6) -> jnp.ndarray:
+    """Estimate lambda_max(M^-1 H) by power iteration (deterministic start),
+    where M^-1 is the smoother's preconditioner (Jacobi diagonal or element
+    Schwarz).
 
     Barrier Hessians have unbounded dynamic range along the central path
-    (cond ~ t^2), but the *Jacobi-scaled* operator stays O(1); the smoother
+    (cond ~ t^2), but the preconditioned operator stays O(1); the smoother
     must still track its top eigenvalue each Newton step or the V-cycle
     turns indefinite and CG diverges."""
-    nf, mp1 = dinv.shape
+    apply_m = _as_apply(minv)
+    nf, mp1 = sys_.He.shape[1] // sys_.idx.shape[1], sys_.m + 1
+    dtype = sys_.He.dtype
     # fixed quasi-random start vector (no jax PRNG: cheap + deterministic)
-    i = jnp.arange(nf * mp1, dtype=dinv.dtype).reshape(nf, mp1)
+    i = jnp.arange(nf * mp1, dtype=dtype).reshape(nf, mp1)
     v = jnp.cos(i * 7.13) + 0.3
     v = v.at[:, sys_.m].set(0.0)
 
     def body(_, carry):
         v, lam = carry
-        w = dinv * hvp(sys_, v)
+        w = apply_m(hvp(sys_, v))
         lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v), 1e-300))
         return w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), 1e-300), lam
 
     _, lam = jax.lax.fori_loop(
-        0, iters, body, (v, jnp.asarray(1.0, dtype=dinv.dtype))
+        0, iters, body, (v, jnp.asarray(1.0, dtype=dtype))
     )
     return lam * 1.05  # safety margin
 
 
+# ----------------------------------------------------------------------------
+# Element-block additive Schwarz smoother
+# ----------------------------------------------------------------------------
+
+
+class SchwarzState(NamedTuple):
+    """Factored element blocks for the weighted additive Schwarz smoother.
+
+    The smoother's preconditioner is
+
+        M^-1 = sum_e  W A_e' (He_e + reg)^{-1} A_e W,    W = diag(1/count)
+
+    where A_e gathers an element's local dofs and count is each node's
+    element valence.  Each term is SPD and the cover is complete, so M^-1
+    is SPD — a valid CG/V-cycle smoother.  Point-Jacobi (diag scaling)
+    cannot see the element-scale anisotropy barrier Hessians develop along
+    the central path (near-boundary quadrature weights vary by orders of
+    magnitude WITHIN an element); solving the full 12x12 element blocks
+    captures it, and the batched triangular solves are exactly the shape
+    the MXU wants.  Measured on fem2d L=6: late-path CG goes from maxiter
+    spins (400 iterations, no convergence) to convergent solves."""
+
+    chol: jnp.ndarray  # (nelem, C, C) lower Cholesky factors
+    winv: jnp.ndarray  # (nf, m+1) node weights 1/valence (pad slot 0)
+
+
+def schwarz_setup(sys_: LevelSystem, nf: int) -> SchwarzState:
+    He, idx, m = sys_.He, sys_.idx, sys_.m
+    nelem, nl = idx.shape
+    # valence weights: how many (element, slot) pairs touch each node
+    ones = jnp.ones((nelem * nl,), dtype=He.dtype)
+    counts = jax.ops.segment_sum(ones, idx.reshape(-1), num_segments=m + 1)
+    winv_nodes = jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
+    winv = jnp.broadcast_to(winv_nodes[None, :], (nf, m + 1))
+    winv = winv.at[:, m].set(0.0)
+    # regularize: relative diagonal lift keeps near-singular blocks PD *in
+    # f32* (element barrier Hessians are rank-deficient per quadrature
+    # point; an f32 Cholesky needs block cond <~ 1e7, so the lift must be
+    # well above f32 eps — 1e-4 barely affects smoothing quality), and pad
+    # elements / constrained slots (zero He rows) get identity entries
+    # (harmless: their dofs read zeros and scatter to the dropped pad slot)
+    d = jnp.diagonal(He, axis1=1, axis2=2)
+    lift = jnp.where(d > 0, 1e-4 * d, 1.0)
+    C = He.shape[1]
+    He_reg = He + jax.vmap(jnp.diag)(lift)
+    chol = jnp.linalg.cholesky(He_reg)
+    return SchwarzState(chol=chol, winv=winv)
+
+
+def schwarz_apply(sys_: LevelSystem, st: SchwarzState, r: jnp.ndarray):
+    """M^-1 r for the weighted additive Schwarz preconditioner.
+
+    r: (nf, m+1) -> same shape.  One gather + two batched triangular
+    solves + one node scatter — about the cost of 1.5 hvp applications."""
+    idx, m = sys_.idx, sys_.m
+    nelem, nl = idx.shape
+    nf = r.shape[0]
+    rw = r * st.winv
+    re = rw[:, idx].transpose(1, 0, 2).reshape(nelem, nf * nl)
+    xe = jax.scipy.linalg.cho_solve((st.chol, True), re[..., None])[..., 0]
+    flat = xe.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
+    return _node_sum(sys_, flat).T * st.winv
+
+
 def chebyshev(
-    sys_: LevelSystem, dinv, lmax, xp, bp, degree: int = 3, ratio: float = 8.0
+    sys_: LevelSystem, minv, lmax, xp, bp, degree: int = 3, ratio: float = 8.0
 ):
-    """Chebyshev-Jacobi smoothing on [lmax/ratio, lmax] (Saad 3rd ed.,
-    Alg. 12.1 adapted to a preconditioned operator).  A polynomial in
-    D^-1 H => symmetric in the D inner product, so V(cheb,cheb) remains a
-    valid SPD preconditioner for CG."""
+    """Chebyshev-accelerated smoothing on [lmax/ratio, lmax] of M^-1 H
+    (Saad 3rd ed., Alg. 12.1 adapted to a preconditioned operator), where
+    M^-1 is Jacobi (diagonal array) or element Schwarz (callable).  A
+    polynomial in M^-1 H => symmetric in the M inner product, so
+    V(cheb,cheb) remains a valid SPD preconditioner for CG."""
+    apply_m = _as_apply(minv)
     lmin = lmax / ratio
     d = 0.5 * (lmax + lmin)
     c = 0.5 * (lmax - lmin)
@@ -225,7 +303,7 @@ def chebyshev(
     alpha = jnp.asarray(0.0, dtype=bp.dtype)
     beta = jnp.asarray(0.0, dtype=bp.dtype)
     for i in range(degree):
-        z = dinv * r
+        z = apply_m(r)
         if i == 0:
             p = z
             alpha = 1.0 / d
@@ -240,7 +318,7 @@ def chebyshev(
 
 def vcycle(
     systems: Sequence[LevelSystem],
-    dinvs: Sequence[jnp.ndarray],
+    minvs: Sequence,
     lmaxs: Sequence[jnp.ndarray],
     embeds: Sequence,
     coarse_solve,
@@ -248,8 +326,9 @@ def vcycle(
     nf: int,
     degree: int = 3,
 ) -> jnp.ndarray:
-    """One V-cycle with Chebyshev-Jacobi smoothing on the finest of
-    `systems`.
+    """One V-cycle with Chebyshev-accelerated smoothing on the finest of
+    `systems`; minvs[l] is the level's smoother preconditioner (Jacobi
+    diagonal array or Schwarz apply-callable, see chebyshev).
 
     embeds[i]: inclusion of level-i subspace into level-(i+1) (the
     geometry's `embed['dirichlet']`, nested by construction; any object
@@ -259,11 +338,11 @@ def vcycle(
     coarse operators ARE the Galerkin operators (linsolve module doc)."""
 
     def cycle(l, bp_l):
-        sys_l, dinv_l, lmax_l = systems[l], dinvs[l], lmaxs[l]
+        sys_l, minv_l, lmax_l = systems[l], minvs[l], lmaxs[l]
         if l == 0:
             return coarse_solve(bp_l)
         xp = chebyshev(
-            sys_l, dinv_l, lmax_l, jnp.zeros_like(bp_l), bp_l, degree
+            sys_l, minv_l, lmax_l, jnp.zeros_like(bp_l), bp_l, degree
         )
         r = bp_l - hvp(sys_l, xp)
         E = embeds[l - 1]  # (m_l, m_{l-1})
@@ -276,7 +355,7 @@ def vcycle(
         xp = xp + jnp.concatenate(
             [e_f, jnp.zeros((nf, 1), dtype=e_f.dtype)], axis=1
         )
-        return chebyshev(sys_l, dinv_l, lmax_l, xp, bp_l, degree)
+        return chebyshev(sys_l, minv_l, lmax_l, xp, bp_l, degree)
 
     return cycle(len(systems) - 1, bp)
 
@@ -339,30 +418,6 @@ def mgcg_solve(
     fine = systems[-1]
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
-    # level 0 is solved directly inside the cycle: no smoother there, so
-    # skip its eigenvalue estimate (each estimate costs `iters` H@v's).
-    # Callers may pass lmaxs_in (nlevels-1,) with positive entries to skip
-    # the power iterations entirely: lambda_max(D^-1 H) is O(1) and drifts
-    # slowly along the Newton path, so an estimate from the level's first
-    # iteration stays valid (with the built-in 1.05 margin) for the rest.
-    if lmaxs_in is not None:
-        lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)]
-        for i, (s, d) in enumerate(zip(systems[1:], dinvs[1:])):
-            lm = jax.lax.cond(
-                lmaxs_in[i] > 0,
-                lambda _: lmaxs_in[i] * jnp.asarray(1.0, dtype=bp.dtype),
-                lambda _: lambda_max_est(s, d, iters=6),
-                0,
-            )
-            lmaxs.append(lm)
-    else:
-        lmaxs = [jnp.asarray(1.0, dtype=bp.dtype)] + [
-            lambda_max_est(s, d, iters=6)
-            for s, d in zip(systems[1:], dinvs[1:])
-        ]
-    lmaxs_out = jnp.stack(lmaxs[1:]) if len(lmaxs) > 1 else jnp.zeros(
-        0, dtype=bp.dtype
-    )
     coarse_cf = jax.scipy.linalg.cho_factor(dense_assemble(systems[0], nf))
 
     sh = jnp.asarray(shift, dtype=bp.dtype)
@@ -410,7 +465,6 @@ def mgcg_solve(
             He_hat = (s_.He * se[:, :, None] * se[:, None, :]).astype(f32c)
             systems32.append(s_._replace(He=He_hat))
         dinvs32 = [jnp.asarray(1.0, dtype=f32c)] * len(systems)  # unit diag
-        lmaxs32 = [l.astype(f32c) for l in lmaxs]
         sv32 = [sv.astype(f32c) for sv in svecs]
         embeds32 = [
             _ScaledTransfer(
@@ -427,13 +481,59 @@ def mgcg_solve(
             s._replace(He=s.He.astype(f32c)) for s in systems
         ]
         dinvs32 = [d.astype(f32c) for d in dinvs]
-        lmaxs32 = [l.astype(f32c) for l in lmaxs]
         embeds32 = [
             type(E)(cols=E.cols, vals=E.vals.astype(f32c), shape=E.shape)
             for E in embeds
         ]
         s0_inv = None
         s_fine = None
+
+    # Smoother preconditioner per level: element-block additive Schwarz by
+    # default (see SchwarzState — point-Jacobi cannot resolve the
+    # element-scale anisotropy of late-path barrier Hessians and CG spins
+    # to maxiter), Jacobi via MGB_SMOOTHER=jacobi or on the unscaled
+    # diagnostic path (unscaled f32 blocks can be too ill-conditioned to
+    # factor).
+    use_schwarz = (
+        use_scaled and os.environ.get("MGB_SMOOTHER", "schwarz") == "schwarz"
+    )
+    if use_schwarz:
+        states32 = [None] + [schwarz_setup(s, nf) for s in systems32[1:]]
+        minvs32 = [dinvs32[0]] + [
+            (lambda s=s, st=st: lambda r: schwarz_apply(s, st, r))()
+            for s, st in zip(systems32[1:], states32[1:])
+        ]
+    else:
+        minvs32 = dinvs32
+
+    # lambda_max estimates of the SMOOTHED f32 operator M^-1 Hhat (level 0
+    # is solved exactly — no smoother, no estimate).  Estimated on the f32
+    # pair the cycle actually smooths; carried across a level run via
+    # lmaxs_in in solve precision (lambda_max is O(1) and drifts slowly
+    # along the Newton path, so the level's first estimate stays valid
+    # with the built-in 1.05 margin).
+    def _est(i):
+        return lambda_max_est(systems32[i], minvs32[i], iters=6).astype(
+            bp.dtype
+        )
+
+    one = jnp.asarray(1.0, dtype=bp.dtype)
+    if lmaxs_in is not None:
+        lmaxs = [one]
+        for i in range(1, len(systems)):
+            lm = jax.lax.cond(
+                lmaxs_in[i - 1] > 0,
+                lambda _, i=i: lmaxs_in[i - 1] * one,
+                lambda _, i=i: _est(i),
+                0,
+            )
+            lmaxs.append(lm)
+    else:
+        lmaxs = [one] + [_est(i) for i in range(1, len(systems))]
+    lmaxs_out = jnp.stack(lmaxs[1:]) if len(lmaxs) > 1 else jnp.zeros(
+        0, dtype=bp.dtype
+    )
+    lmaxs32 = [l.astype(f32c) for l in lmaxs]
 
     def coarse_solve(bp0_hat):
         # Hhat_0^{-1} = S_0^{-1} H_0^{-1} S_0^{-1}; the factor is the
@@ -455,7 +555,7 @@ def mgcg_solve(
         rhat = ((r * s_fine) if use_scaled else r).astype(f32c)
         out = vcycle(
             systems32,
-            dinvs32,
+            minvs32,
             lmaxs32,
             embeds32,
             coarse_solve,
@@ -499,8 +599,16 @@ def mgcg_solve(
     #   case and return the CURRENT iterate — if it is garbage the line
     #   search rejects it and the Newton loop reports an explicit LOCKED,
     #   never a silent no-op.
-    q_eps = jnp.asarray(1e-5, dtype=bp.dtype)
-    floor_cap = max(2 * stagnation, 32)
+    q_eps = jnp.asarray(
+        float(os.environ.get("MGB_CG_QEPS", "1e-5")), dtype=bp.dtype
+    )
+    # With the Schwarz smoother, mid-path solves legitimately wander above
+    # ||b|| for ~30-80 iterations before collapsing (measured fem2d L=5);
+    # the floor bail must sit above that, while still bounding the
+    # beyond-f64 deep-floor burn.
+    floor_cap = int(
+        os.environ.get("MGB_CG_FLOOR_CAP", str(max(2 * stagnation, 96)))
+    )
 
     x0 = jnp.zeros_like(bp)
     r0 = bp

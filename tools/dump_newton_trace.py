@@ -20,15 +20,19 @@ for t, recs in by_t.items():
     lam2s = [r["lam2"] for r in recs]
     alphas = [r["alpha"] for r in recs]
     dphis = [r["dphi"] for r in recs]
-    print(f"t={t:.3e} n={len(recs)}")
+    cgits = [r.get("cgits", -1) for r in recs]
+    print(
+        f"t={t:.3e} n={len(recs)} cg_total={sum(cgits)} "
+        f"cg_max={max(cgits)}"
+    )
     for i in range(0, len(recs), max(1, len(recs) // 10)):
         print(
             f"   k={i:3d} lam2={lam2s[i]:.4e} alpha={alphas[i]:.3f} "
-            f"dphi={dphis[i]:.4e}"
+            f"dphi={dphis[i]:.4e} cg={cgits[i]}"
         )
     print(
         f"   last: lam2={lam2s[-1]:.4e} alpha={alphas[-1]:.3f} "
-        f"dphi={dphis[-1]:.4e}"
+        f"dphi={dphis[-1]:.4e} cg={cgits[-1]}"
     )
 print("total fine its:", sum(len(v) for v in by_t.values()))
 print("c:", s.SOL_main.c_dot_Dz[-1])
