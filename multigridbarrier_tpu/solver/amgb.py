@@ -728,7 +728,18 @@ class _SolverCtx:
         self._warmed = True
 
         levels = list(range(self.levels))
-        if len(levels) <= 1 or os.environ.get("MGB_SERIAL_WARMUP"):
+        # The shared remote TPU worker crashes under CONCURRENT first
+        # executions/compiles of large level kernels ("kernel fault",
+        # reproducible at L=7 with 4 warmup threads; every level passes
+        # serially — tools/probe_levels_tpu.py).  Warm up serially on
+        # non-CPU backends; threaded warmup remains for local CPU where
+        # compile overlap is safe and tests benefit.
+        serial = (
+            len(levels) <= 1
+            or os.environ.get("MGB_SERIAL_WARMUP")
+            or jax.default_backend() != "cpu"
+        )
+        if serial:
             for lvl in levels:
                 self.run_level(lvl, z, t, theta2)
             return

@@ -37,9 +37,15 @@ def collective_counts(ctx, z, t):
     """Count GSPMD collectives in each compiled per-level Newton-loop HLO."""
     import jax.numpy as jnp
 
+    HIST = 5
     out = {}
-    for lvl, loop in sorted(ctx._loops.items()):
+    for lvl, (loop, n_smooth) in sorted(ctx._loops.items()):
         Ps, bases, embeds, rloc = ctx._level_args(lvl)
+        dtype = z.dtype
+        hist = {
+            key: jnp.zeros(HIST, dtype=dtype)
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits")
+        }
         lowered = loop.lower(
             Ps,
             bases,
@@ -49,8 +55,11 @@ def collective_counts(ctx, z, t):
             ctx.w,
             ctx.c,
             z,
-            jnp.asarray(t, dtype=z.dtype),
-            jnp.asarray(0.0625, dtype=z.dtype),
+            jnp.asarray(t, dtype=dtype),
+            jnp.asarray(0.0625, dtype=dtype),
+            jnp.zeros(n_smooth, dtype=dtype),
+            hist,
+            jnp.asarray(0, jnp.int32),
         )
         txt = lowered.compile().as_text()
         counts = {
