@@ -240,8 +240,19 @@ class _SolverCtx:
         if newton_patience is None:
             newton_patience = int(os.environ.get("MGB_NEWTON_PATIENCE", "0"))
         self.newton_patience = newton_patience
-        # device-kernel chunk size for the Newton loop (see _build_loop)
-        self.newton_chunk = int(os.environ.get("MGB_NEWTON_CHUNK", "4"))
+        # Device-kernel chunk size for the Newton loop (see _build_loop).
+        # On accelerator backends the default is 1: the axon TPU worker
+        # kills long-running kernels ("kernel fault"), and a mid-path
+        # Newton step whose CG saturates maxiter already runs ~10s at
+        # fem2d L=7 — a 4-step chunk reliably trips the watchdog (the
+        # L=7/L=8 bench crashes), while per-chunk host RTT (30-100ms via
+        # the tunnel) is noise against the chunk's device time.  CPU has
+        # no watchdog, so it keeps the larger chunk to amortize callback
+        # overhead.
+        default_chunk = "1" if jax.default_backend() != "cpu" else "4"
+        self.newton_chunk = int(
+            os.environ.get("MGB_NEWTON_CHUNK", default_chunk)
+        )
 
         g = geometry
         self.levels = len(g.bases[subspace])
@@ -987,7 +998,12 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
         kw.get("linear_solver"),
         kw.get("newton_cap", 50),
         int(os.environ.get("MGB_NEWTON_PATIENCE", "0")),
-        int(os.environ.get("MGB_NEWTON_CHUNK", "4")),
+        int(
+            os.environ.get(
+                "MGB_NEWTON_CHUNK",
+                "1" if jax.default_backend() != "cpu" else "4",
+            )
+        ),
         None if x is None else x.shape[1],
     )
     ctx = cache.get(key)

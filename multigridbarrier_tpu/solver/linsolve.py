@@ -257,14 +257,20 @@ def schwarz_setup(sys_: LevelSystem, nf: int) -> SchwarzState:
     winv_nodes = jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
     winv = jnp.broadcast_to(winv_nodes[None, :], (nf, m + 1))
     winv = winv.at[:, m].set(0.0)
-    # regularize: relative diagonal lift keeps near-singular blocks PD *in
-    # f32* (element barrier Hessians are rank-deficient per quadrature
-    # point; an f32 Cholesky needs block cond <~ 1e7, so the lift must be
-    # well above f32 eps — 1e-4 barely affects smoothing quality), and pad
-    # elements / constrained slots (zero He rows) get identity entries
-    # (harmless: their dofs read zeros and scatter to the dropped pad slot)
+    # Regularize with an ABSOLUTE identity lift: callers pass the
+    # Jacobi-SCALED blocks (global unit diagonal), but a single element
+    # only contributes a FRACTION of each node's global diagonal — rows
+    # where that fraction is ~1e-8 would, under a block-relative lift, get
+    # inverses of ~1e8+ that amplify noise into the smoother
+    # (measured: lambda_max(M^-1 H) = 4e6 instead of O(10), Chebyshev
+    # mistargeted, CG grinding, minutes-long kernels).  The absolute
+    # 1e-4*I bounds every block inverse by 1e4 in the scaled metric and
+    # simply mutes an element's correction on dofs it carries no
+    # information about.  It also keeps the f32 Cholesky well-conditioned
+    # (needs block cond <~ 1e7).
     d = jnp.diagonal(He, axis1=1, axis2=2)
-    lift = jnp.where(d > 0, 1e-4 * d, 1.0)
+    lift_abs = float(os.environ.get("MGB_SCHWARZ_LIFT", "1e-4"))
+    lift = lift_abs + jnp.where(d > 0, 0.0, 1.0)
     C = He.shape[1]
     He_reg = He + jax.vmap(jnp.diag)(lift)
     chol = jnp.linalg.cholesky(He_reg)
