@@ -33,7 +33,7 @@ import numpy as np
 
 from ..backend import Backend
 from ..runtime import BlockDiagOp, Ell, LevelBasis
-from ..runtime.elements import scatter_table
+from ..runtime.elements import node_pair_table, scatter_table
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,6 +212,7 @@ def pad_elements(g: Geometry, mult: int) -> Geometry:
             rloc=rloc,
             m=B.m,
             scatter_idx=jnp.asarray(scatter_table(idx, B.m, itype=itype)),
+            pair_idx=jnp.asarray(node_pair_table(idx, B.m, itype=itype)),
         )
 
     payload = dict(disc.payload)

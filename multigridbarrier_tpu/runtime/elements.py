@@ -39,7 +39,7 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "rloc", "scatter_idx"],
+    data_fields=["idx", "rloc", "scatter_idx", "pair_idx"],
     meta_fields=["m"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -56,12 +56,18 @@ class LevelBasis:
           padded with nelem*nl (a zero sentinel row).  Adjoint applications
           become gathers + small sums — TPU scatters with duplicate indices
           serialize and dominate the runtime otherwise.
+    pair_idx: (nelem, nl, nl) int32 — inverse-unique ids of the global node
+          pairs (idx[e,a], idx[e,b]); see node_pair_table.  Lets the
+          Schwarz smoother assemble principal submatrices of the global
+          Newton matrix in element-local form (one segment-sum + one
+          gather, linsolve.schwarz_setup) without a global sparse matrix.
     """
 
     idx: jnp.ndarray
     rloc: jnp.ndarray
     m: int
     scatter_idx: jnp.ndarray = None
+    pair_idx: jnp.ndarray = None
 
     @property
     def nelem(self) -> int:
@@ -142,7 +148,28 @@ class LevelBasis:
             rloc=self.rloc.astype(dtype),
             m=self.m,
             scatter_idx=self.scatter_idx,
+            pair_idx=self.pair_idx,
         )
+
+
+def node_pair_table(idx: np.ndarray, m: int, itype=np.int32) -> np.ndarray:
+    """(nelem, nl, nl) inverse-unique ids of the node pairs
+    (idx[e, a], idx[e, b]).
+
+    Two (element, a, b) slots get the same id iff they address the same
+    global (i, j) node pair, so `segment_sum(He.reshape(-1), ids)` followed
+    by `[ids]` gathers every element the PRINCIPAL SUBMATRIX of the
+    assembled global matrix restricted to its node set — the subdomain
+    operator for the overlapping Schwarz smoother — without ever forming a
+    global sparse matrix (the reference's SpGEMM/MUMPS path,
+    src/MultiGridBarrierMPI.jl solve hook; SURVEY.md §3.5).  Static per
+    basis; ids are < nelem*nl*nl, so shape-derived segment counts work
+    inside jit."""
+    idx = np.asarray(idx).astype(np.int64)
+    nelem, nl = idx.shape
+    keys = (idx[:, :, None] * (m + 1) + idx[:, None, :]).reshape(-1)
+    _, inv = np.unique(keys, return_inverse=True)
+    return inv.reshape(nelem, nl, nl).astype(itype)
 
 
 def scatter_table(idx: np.ndarray, m: int, itype=np.int32) -> np.ndarray:
@@ -193,6 +220,7 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
             rloc=jnp.asarray(rloc_n),
             m=int(m),
             scatter_idx=jnp.asarray(scatter_table(idx_n, int(m), itype=itype)),
+            pair_idx=jnp.asarray(node_pair_table(idx_n, int(m), itype=itype)),
         )
 
     indptr, indices, data = R.indptr, R.indices, R.data
@@ -220,4 +248,5 @@ def level_basis_from_csr(R, nq: int, dtype=None, itype=np.int32) -> LevelBasis:
         rloc=jnp.asarray(rloc),
         m=int(m),
         scatter_idx=jnp.asarray(scatter_table(idx, int(m), itype=itype)),
+        pair_idx=jnp.asarray(node_pair_table(idx, int(m), itype=itype)),
     )

@@ -230,8 +230,8 @@ class _SolverCtx:
         self.armijo = armijo
         self.max_backtrack = max_backtrack
         self.linear_solver = linear_solver
-        self.cg_rtol = cg_rtol
-        self.cg_maxiter = cg_maxiter
+        self.cg_rtol = float(os.environ.get("MGB_CG_RTOL", cg_rtol))
+        self.cg_maxiter = int(os.environ.get("MGB_CG_MAXITER", cg_maxiter))
         self.newton_cap = newton_cap
         # Patience soft-accept is DISABLED by default (0): measured on
         # fem2d L=6, truncating a moderately-centered creep just moves the
@@ -393,11 +393,13 @@ class _SolverCtx:
                         self._assemble_He(Ps[i], Y2w_e),
                         bases[i].idx,
                         self._bases[sl].m,
+                        pair_idx=bases[i].pair_idx,
                     )
                     for i, sl in enumerate(sub_levels)
                 ]
 
             cg_iters = jnp.asarray(0, dtype=jnp.int32)
+            cg_rel = jnp.asarray(0.0, dtype=z.dtype)
             lmaxs_new = lmaxs
             if custom_solve is not None:
                 from .linsolve import dense_assemble
@@ -458,7 +460,8 @@ class _SolverCtx:
             # a broken solve; 0 * NaN would corrupt z
             z_new = jnp.where(alpha > 0, z + alpha * dz, z)
             dphi = jnp.where(alpha > 0, dphia, 0.0)
-            return z_new, lam2, alpha, phi0, cy, dphi, lmaxs_new, cg_iters
+            return (z_new, lam2, alpha, phi0, cy, dphi, lmaxs_new,
+                    cg_iters, cg_rel)
 
         step.n_smooth = n_smooth
         return step
@@ -497,7 +500,9 @@ class _SolverCtx:
                 key: jnp.zeros(chunk + HIST, dtype=dtype).at[:HIST].set(
                     hist0[key]
                 )
-                for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits")
+                for key in (
+                    "lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel"
+                )
             }
             state0 = dict(
                 z=z0,
@@ -523,7 +528,8 @@ class _SolverCtx:
                 # converging LESS deep.  Inexactness is already handled
                 # adaptively by mgcg_solve's q-stagnation exit.
                 eta = jnp.asarray(self.cg_rtol, dtype=dtype)
-                z_new, lam2, alpha, phi0, cy, dphi, lmax_new, cgits = raw(
+                (z_new, lam2, alpha, phi0, cy, dphi, lmax_new, cgits,
+                 cgrel) = raw(
                     Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"], eta
                 )
                 tr = dict(
@@ -535,6 +541,7 @@ class _SolverCtx:
                     cgits=tr["cgits"].at[k].set(
                         cgits.astype(dtype)
                     ),
+                    cgrel=tr["cgrel"].at[k].set(cgrel.astype(dtype)),
                 )
                 # stop conditions (see _path_follow for semantics)
                 nanv = ~jnp.isfinite(lam2)
@@ -678,7 +685,9 @@ class _SolverCtx:
         lmax = jnp.zeros(n_smooth, dtype=dtype)
         hist = {
             key: jnp.zeros(HIST, dtype=dtype)
-            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits")
+            for key in (
+                "lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel"
+            )
         }
         total = 0
         code = self.RUNNING
@@ -851,6 +860,7 @@ def _path_follow(
                         phi=float(tr["phi"][i]),
                         dphi=float(tr["dphi"][i]),
                         cgits=int(tr["cgits"][i]),
+                        cgrel=float(tr["cgrel"][i]),
                     )
                 )
             if total > maxit:

@@ -47,6 +47,8 @@ class LevelSystem(NamedTuple):
     idx: jnp.ndarray
     m: int
     scatter_idx: jnp.ndarray = None
+    pair_idx: jnp.ndarray = None  # (nelem, nl, nl) node-pair ids
+    # (elements.node_pair_table); enables principal-submatrix Schwarz
 
 
 def _node_sum(sys_: LevelSystem, flat: jnp.ndarray) -> jnp.ndarray:
@@ -228,53 +230,96 @@ def lambda_max_est(sys_: LevelSystem, minv, iters: int = 6) -> jnp.ndarray:
 
 
 class SchwarzState(NamedTuple):
-    """Factored element blocks for the weighted additive Schwarz smoother.
+    """Factored subdomain blocks for the overlapping additive Schwarz
+    smoother.
 
     The smoother's preconditioner is
 
-        M^-1 = sum_e  W A_e' (He_e + reg)^{-1} A_e W,    W = diag(1/count)
+        M^-1 = sum_e  A_e' W_e B_e^{-1} W_e A_e
 
-    where A_e gathers an element's local dofs and count is each node's
-    element valence.  Each term is SPD and the cover is complete, so M^-1
-    is SPD — a valid CG/V-cycle smoother.  Point-Jacobi (diag scaling)
-    cannot see the element-scale anisotropy barrier Hessians develop along
-    the central path (near-boundary quadrature weights vary by orders of
-    magnitude WITHIN an element); solving the full 12x12 element blocks
-    captures it, and the batched triangular solves are exactly the shape
-    the MXU wants.  Measured on fem2d L=6: late-path CG goes from maxiter
-    spins (400 iterations, no convergence) to convergent solves."""
+    where A_e gathers element e's local dofs, W_e is a partition of unity
+    and B_e is the PRINCIPAL SUBMATRIX of the assembled global (scaled)
+    Newton matrix restricted to e's node set — assembled in element-local
+    form with one segment-sum over the static node-pair table plus one
+    gather (elements.node_pair_table), never forming a global sparse
+    matrix.  Each term is SPD and the cover is complete, so M^-1 is SPD —
+    a valid CG/V-cycle smoother with the classical lambda_max(M^-1 H) =
+    O(valence) bound.
+
+    Why principal submatrices and not the element integral blocks He_e:
+    He_e only carries the stiffness the element itself contributes, so a
+    direction can be He_e-soft yet globally stiff (neighbors own it).
+    Inverting the lifted He_e then amplifies such directions by up to
+    1/lift — measured as lambda_max(M^-1 H) = 4e6 (block-relative lift) /
+    5.3e3 (absolute lift) with most of the spectrum below the Chebyshev
+    window, saturating CG mid-path (fem2d L=5 wedged for an hour at
+    t=1e5); diagonal-share weights or (1-share) diagonal completion fix
+    the mid path but mute the ELEMENT-LOCAL near-null directions
+    (cone-boundary activity at single quadrature points) that dominate
+    the deep barrier endgame, locking levels above the true f64 floor.
+    B_e >= He_e contains every neighbor contribution on e's nodes, so
+    block-soft == globally-soft: aggressive block inversion is consistent
+    with the global operator at both ends of the path — the job MUMPS
+    does for the reference (SURVEY.md §3.5).
+
+    Point-Jacobi (diag scaling) cannot see the element-scale anisotropy
+    barrier Hessians develop along the central path (near-boundary
+    quadrature weights vary by orders of magnitude WITHIN an element);
+    solving full subdomain blocks captures it, and the batched
+    triangular solves are exactly the shape the MXU wants."""
 
     chol: jnp.ndarray  # (nelem, C, C) lower Cholesky factors
-    winv: jnp.ndarray  # (nf, m+1) node weights 1/valence (pad slot 0)
+    we: jnp.ndarray  # (nelem, C) partition-of-unity weights (pad slots 0)
 
 
 def schwarz_setup(sys_: LevelSystem, nf: int) -> SchwarzState:
     He, idx, m = sys_.He, sys_.idx, sys_.m
     nelem, nl = idx.shape
-    # valence weights: how many (element, slot) pairs touch each node
+    if sys_.pair_idx is None:
+        raise ValueError(
+            "schwarz_setup requires LevelSystem.pair_idx "
+            "(elements.node_pair_table)"
+        )
+    # ---- assemble principal submatrices B_e = A_e H A_e' ------------------
+    # Field-pair expansion: every field shares the node-pair structure, so
+    # the full pair id is (f1*nf + f2)*stride + node_pair_id and the
+    # segment count is shape-derived (static under jit).
+    stride = nelem * nl * nl
+    pn = sys_.pair_idx.astype(jnp.int32)  # (nelem, nl, nl)
+    fp = jnp.arange(nf, dtype=jnp.int32)
+    fpair = (fp[:, None] * nf + fp[None, :]) * stride  # (nf, nf)
+    # He layout: (nelem, C, C) with C = nf*nl, slot c = f*nl + a
+    full_id = (
+        fpair[None, :, None, :, None]
+        + jnp.broadcast_to(
+            pn[:, None, :, None, :], (nelem, nf, nl, nf, nl)
+        )
+    ).reshape(nelem, nf * nl, nf * nl)
+    sums = jax.ops.segment_sum(
+        He.reshape(-1), full_id.reshape(-1), num_segments=nf * nf * stride
+    )
+    B = sums[full_id]  # (nelem, C, C) principal submatrices
+    # ---- partition of unity + regularization ------------------------------
+    # 1/valence weights: integer-exact, so identical on every device mesh
+    # (a diagonal-share PoU computed from f32 blocks differs in the last
+    # bit per sharding and breaks 1-vs-N solve parity at the f64 floor).
     ones = jnp.ones((nelem * nl,), dtype=He.dtype)
     counts = jax.ops.segment_sum(ones, idx.reshape(-1), num_segments=m + 1)
-    winv_nodes = jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
-    winv = jnp.broadcast_to(winv_nodes[None, :], (nf, m + 1))
-    winv = winv.at[:, m].set(0.0)
-    # Regularize with an ABSOLUTE identity lift: callers pass the
-    # Jacobi-SCALED blocks (global unit diagonal), but a single element
-    # only contributes a FRACTION of each node's global diagonal — rows
-    # where that fraction is ~1e-8 would, under a block-relative lift, get
-    # inverses of ~1e8+ that amplify noise into the smoother
-    # (measured: lambda_max(M^-1 H) = 4e6 instead of O(10), Chebyshev
-    # mistargeted, CG grinding, minutes-long kernels).  The absolute
-    # 1e-4*I bounds every block inverse by 1e4 in the scaled metric and
-    # simply mutes an element's correction on dofs it carries no
-    # information about.  It also keeps the f32 Cholesky well-conditioned
-    # (needs block cond <~ 1e7).
-    d = jnp.diagonal(He, axis1=1, axis2=2)
+    winv = jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
+    winv = winv.at[m].set(0.0)
+    wn = winv[idx]  # (nelem, nl)
+    we = jnp.repeat(wn[:, None, :], nf, axis=1).reshape(nelem, nf * nl)
+    # Callers pass globally Jacobi-scaled systems, so diag(B) = 1 on every
+    # real dof; constrained/pad slots have all-zero rows and get an
+    # identity diagonal.  The small lift bounds the block condition for
+    # the f32 Cholesky (needs cond <~ 1e7; the scaled global matrix
+    # reaches ~1e8+ near the f64 floor).
+    d = jnp.diagonal(B, axis1=1, axis2=2)
     lift_abs = float(os.environ.get("MGB_SCHWARZ_LIFT", "1e-4"))
     lift = lift_abs + jnp.where(d > 0, 0.0, 1.0)
-    C = He.shape[1]
-    He_reg = He + jax.vmap(jnp.diag)(lift)
-    chol = jnp.linalg.cholesky(He_reg)
-    return SchwarzState(chol=chol, winv=winv)
+    B_reg = B + jax.vmap(jnp.diag)(lift)
+    chol = jnp.linalg.cholesky(B_reg)
+    return SchwarzState(chol=chol, we=we)
 
 
 def schwarz_apply(sys_: LevelSystem, st: SchwarzState, r: jnp.ndarray):
@@ -285,15 +330,19 @@ def schwarz_apply(sys_: LevelSystem, st: SchwarzState, r: jnp.ndarray):
     idx, m = sys_.idx, sys_.m
     nelem, nl = idx.shape
     nf = r.shape[0]
-    rw = r * st.winv
-    re = rw[:, idx].transpose(1, 0, 2).reshape(nelem, nf * nl)
+    re = r[:, idx].transpose(1, 0, 2).reshape(nelem, nf * nl) * st.we
     xe = jax.scipy.linalg.cho_solve((st.chol, True), re[..., None])[..., 0]
+    xe = xe * st.we
     flat = xe.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
-    return _node_sum(sys_, flat).T * st.winv
+    out = _node_sum(sys_, flat).T
+    return out.at[:, m].set(0.0)
+
+
+_CHEB_RATIO = float(os.environ.get("MGB_CHEB_RATIO", "8.0"))
 
 
 def chebyshev(
-    sys_: LevelSystem, minv, lmax, xp, bp, degree: int = 3, ratio: float = 8.0
+    sys_: LevelSystem, minv, lmax, xp, bp, degree: int = 3, ratio: float = None
 ):
     """Chebyshev-accelerated smoothing on [lmax/ratio, lmax] of M^-1 H
     (Saad 3rd ed., Alg. 12.1 adapted to a preconditioned operator), where
@@ -301,6 +350,8 @@ def chebyshev(
     polynomial in M^-1 H => symmetric in the M inner product, so
     V(cheb,cheb) remains a valid SPD preconditioner for CG."""
     apply_m = _as_apply(minv)
+    if ratio is None:
+        ratio = _CHEB_RATIO
     lmin = lmax / ratio
     d = 0.5 * (lmax + lmin)
     c = 0.5 * (lmax - lmin)
@@ -458,7 +509,12 @@ def mgcg_solve(
     # the lmax estimates (spectra are similar) carry over unchanged, and
     #     H^{-1} = S_f Vhat S_f
     # turns the scaled cycle back into an SPD preconditioner for H.
-    f32c = jnp.float32
+    f32c = (
+        jnp.float64
+        if os.environ.get("MGB_CYCLE_DTYPE", "f32") == "f64"
+        and bp.dtype == jnp.float64
+        else jnp.float32
+    )
     use_scaled = os.environ.get("MGB_SCALED_PRECOND", "1") != "0"
     m0 = systems[0].m
     if use_scaled:
@@ -501,7 +557,9 @@ def mgcg_solve(
     # diagnostic path (unscaled f32 blocks can be too ill-conditioned to
     # factor).
     use_schwarz = (
-        use_scaled and os.environ.get("MGB_SMOOTHER", "schwarz") == "schwarz"
+        use_scaled
+        and os.environ.get("MGB_SMOOTHER", "schwarz") == "schwarz"
+        and all(s.pair_idx is not None for s in systems32[1:])
     )
     if use_schwarz:
         states32 = [None] + [schwarz_setup(s, nf) for s in systems32[1:]]

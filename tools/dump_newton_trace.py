@@ -21,9 +21,11 @@ for t, recs in by_t.items():
     alphas = [r["alpha"] for r in recs]
     dphis = [r["dphi"] for r in recs]
     cgits = [r.get("cgits", -1) for r in recs]
+    cgrels = [r.get("cgrel", -1.0) for r in recs]
     print(
         f"t={t:.3e} n={len(recs)} cg_total={sum(cgits)} "
-        f"cg_max={max(cgits)}"
+        f"cg_max={max(cgits)} cgrel_max={max(cgrels):.2e} "
+        f"cgrel_last={cgrels[-1]:.2e}"
     )
     for i in range(0, len(recs), max(1, len(recs) // 10)):
         print(
