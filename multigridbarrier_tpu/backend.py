@@ -35,17 +35,22 @@ class Backend:
         default for index arrays, src/MultiGridBarrierMPI.jl:233-234).
       mesh: optional jax Mesh with a DOF_AXIS axis.  None = single device.
       dense_threshold: Newton systems with <= this many unknowns are solved
-        with dense Cholesky (the MUMPS replacement for coarse levels);
-        larger systems use multigrid-preconditioned CG (which also turns
-        out to need FEWER Newton iterations near the f64 path floor: the
-        best-iterate CG direction is better behaved than the exact
-        factorization of a numerically singular system).
+        with dense Cholesky (the MUMPS replacement, SURVEY.md §2.4);
+        larger systems use the iterative path.  Direct solves are not an
+        optimization but a CORRECTNESS requirement wherever affordable:
+        mid-path barrier Hessians reach cond ~ 1e15 (measured fem2d L=3,
+        tools/probe_mult_schwarz.py), where no preconditioned-CG variant
+        resolves the physically meaningful soft tail — an exact-solve
+        ground truth at fem2d L=5 converges to c=27.360702532 in 145
+        Newton iterations while MG-CG paths land 1e-3 off at 2-10x the
+        cost.  2048 puts the fem2d L=5 finest level (nf*m = 1922) on the
+        direct path.
     """
 
     dtype: jnp.dtype = jnp.float64
     itype: jnp.dtype = jnp.int32
     mesh: Optional[jax.sharding.Mesh] = None
-    dense_threshold: int = 1500
+    dense_threshold: int = 2048
 
     @property
     def n_devices(self) -> int:
@@ -109,9 +114,12 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> jax.sharding.Mes
     return jax.sharding.Mesh(np.asarray(devices), (DOF_AXIS,))
 
 
-def backend_cpu(dtype=jnp.float64, itype=jnp.int32) -> Backend:
-    """Single-device backend (reference: backend_cpu_serial, src:95)."""
-    return Backend(dtype=dtype, itype=itype, mesh=None)
+def backend_cpu(dtype=jnp.float64, itype=jnp.int32, **kw) -> Backend:
+    """Single-device backend (reference: backend_cpu_serial, src:95).
+
+    Extra kwargs override Backend fields (e.g. dense_threshold=1<<30 for
+    an exact-direct-solve ground-truth run, tools/check_exact.py)."""
+    return Backend(dtype=dtype, itype=itype, mesh=None, **kw)
 
 
 def backend_tpu(

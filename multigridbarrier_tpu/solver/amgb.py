@@ -231,6 +231,18 @@ class _SolverCtx:
         self.max_backtrack = max_backtrack
         self.linear_solver = linear_solver
         self.cg_rtol = float(os.environ.get("MGB_CG_RTOL", cg_rtol))
+        # On accelerator backends the per-step CG budget is the per-kernel
+        # device-time bound (one Newton step = one kernel at chunk 1, and
+        # CG is its dominant cost): a mid-path step that saturates 200 its
+        # at fem2d L=7 runs ~20s of device time and trips the TPU worker
+        # watchdog (the historical L=7/L=8 "kernel fault" crashes).  80 its
+        # keeps the worst-case kernel well under the limit; the CG warm
+        # start (_build_step) carries the truncated direction into the next
+        # step, so a hard step that needs ~200 its gets them as 80-it
+        # resumable slices across consecutive Newton steps instead of one
+        # watchdog-fatal kernel.
+        if jax.default_backend() != "cpu" and cg_maxiter == 200:
+            cg_maxiter = 80
         self.cg_maxiter = int(os.environ.get("MGB_CG_MAXITER", cg_maxiter))
         self.newton_cap = newton_cap
         # Patience soft-accept is DISABLED by default (0): measured on
@@ -358,10 +370,14 @@ class _SolverCtx:
         )
         sub_levels = self._sub_levels(level)
         cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
+        use_warmstart = (
+            os.environ.get("MGB_CG_WARMSTART", "1") != "0"
+        ) and not use_dense
 
         n_smooth = max(1, len(sub_levels) - 1)
 
-        def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs, cg_eta):
+        def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs, cg_eta,
+                 dv_prev):
             # Ps/bases: per-sublevel element tensors (finest = Ps[-1]).
             # cg_eta: forcing term for this step's linear solve (currently
             # constant = cg_rtol; see the measured rejection of adaptive
@@ -418,6 +434,10 @@ class _SolverCtx:
                     rtol=cg_eta,
                     maxiter=cg_maxiter,
                     lmaxs_in=lmaxs,
+                    # warm start: the previous Newton direction captures
+                    # most of the new system's decrement late in the path
+                    # (see mgcg_solve); gated off for cold shapes
+                    x0_in=dv_prev if use_warmstart else None,
                 )
             lam2 = -jnp.vdot(gv, dvp)
 
@@ -461,7 +481,7 @@ class _SolverCtx:
             z_new = jnp.where(alpha > 0, z + alpha * dz, z)
             dphi = jnp.where(alpha > 0, dphia, 0.0)
             return (z_new, lam2, alpha, phi0, cy, dphi, lmaxs_new,
-                    cg_iters, cg_rel)
+                    cg_iters, cg_rel, dvp)
 
         step.n_smooth = n_smooth
         return step
@@ -494,7 +514,7 @@ class _SolverCtx:
         HIST = 5
 
         def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2, lmax0,
-                 hist0, kg0):
+                 hist0, kg0, dv0):
             dtype = z0.dtype
             tr0 = {
                 key: jnp.zeros(chunk + HIST, dtype=dtype).at[:HIST].set(
@@ -512,6 +532,9 @@ class _SolverCtx:
                 # smoother eigenvalue estimates, carried across chunks and
                 # across the level run (<= 0 means "estimate now")
                 lmax=lmax0,
+                # previous Newton direction (CG warm start), carried the
+                # same way
+                dv=dv0,
             )
 
             def cond(s):
@@ -529,8 +552,9 @@ class _SolverCtx:
                 # adaptively by mgcg_solve's q-stagnation exit.
                 eta = jnp.asarray(self.cg_rtol, dtype=dtype)
                 (z_new, lam2, alpha, phi0, cy, dphi, lmax_new, cgits,
-                 cgrel) = raw(
-                    Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"], eta
+                 cgrel, dv_new) = raw(
+                    Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"], eta,
+                    s["dv"]
                 )
                 tr = dict(
                     lam2=tr["lam2"].at[k].set(lam2),
@@ -604,7 +628,8 @@ class _SolverCtx:
                     ),
                 ).astype(jnp.int32)
                 return dict(
-                    z=z_new, k=k + 1, code=code, tr=tr, lmax=lmax_new
+                    z=z_new, k=k + 1, code=code, tr=tr, lmax=lmax_new,
+                    dv=dv_new
                 )
 
             s = jax.lax.while_loop(cond, body, state0)
@@ -613,7 +638,8 @@ class _SolverCtx:
                 key: jax.lax.dynamic_slice(s["tr"][key], (kend - HIST,), (HIST,))
                 for key in tr0
             }
-            return s["z"], kend - HIST, s["code"], s["tr"], s["lmax"], hist_out
+            return (s["z"], kend - HIST, s["code"], s["tr"], s["lmax"],
+                    hist_out, s["dv"])
 
         return jax.jit(loop)
 
@@ -683,6 +709,9 @@ class _SolverCtx:
         t_arr = jnp.asarray(t, dtype=dtype)
         th_arr = jnp.asarray(theta2, dtype=dtype)
         lmax = jnp.zeros(n_smooth, dtype=dtype)
+        nf = self.spec.nfields
+        m = self._bases[level].m
+        dv = jnp.zeros((nf, m + 1), dtype=dtype)
         hist = {
             key: jnp.zeros(HIST, dtype=dtype)
             for key in (
@@ -695,7 +724,7 @@ class _SolverCtx:
         while True:
             for attempt in range(3):
                 try:
-                    z, its, code, tr, lmax, hist = loop(
+                    z, its, code, tr, lmax, hist, dv = loop(
                         Ps,
                         idxs,
                         embeds,
@@ -709,6 +738,7 @@ class _SolverCtx:
                         lmax,
                         hist,
                         jnp.asarray(total, jnp.int32),
+                        dv,
                     )
                     break
                 except jax.errors.JaxRuntimeError as e:

@@ -447,6 +447,7 @@ def mgcg_solve(
     shift: float = 0.0,
     stagnation: int = 12,
     lmaxs_in=None,
+    x0_in=None,
 ):
     """Multigrid-preconditioned CG on the finest level of `systems`.
 
@@ -674,12 +675,33 @@ def mgcg_solve(
         os.environ.get("MGB_CG_FLOOR_CAP", str(max(2 * stagnation, 96)))
     )
 
-    x0 = jnp.zeros_like(bp)
-    r0 = bp
+    # Warm start from the previous Newton step's direction (x0_in).  Deep
+    # in the barrier endgame consecutive Newton systems change slowly
+    # (alpha ~ 1 steps of shrinking size), so the previous direction
+    # already captures most of the new system's decrement and CG only has
+    # to solve for the correction — the saturated 200-iteration tails
+    # collapse to tens of iterations.  Guards below:
+    # * accept the warm start only if it is a DESCENT direction whose
+    #   captured decrement is positive (q(x0) < 0); otherwise start cold —
+    #   a stale/garbage start would otherwise be returned on an immediate
+    #   breakdown and turn the "zero step == converged floor" semantics
+    #   into a wrong-direction Newton step.
+    # * q accumulation starts at q(x0) so the quadratic-model exits keep
+    #   measuring TOTAL captured decrement.
+    if x0_in is not None:
+        Ax0 = Aop(x0_in)
+        q_x0 = 0.5 * jnp.vdot(x0_in, Ax0) - jnp.vdot(bp, x0_in)
+        ok0 = jnp.isfinite(q_x0) & (q_x0 < 0)
+        x0 = jnp.where(ok0, x0_in, 0.0)
+        r0 = jnp.where(ok0, bp - Ax0, bp)
+        q0 = jnp.where(ok0, q_x0, 0.0)
+    else:
+        x0 = jnp.zeros_like(bp)
+        r0 = bp
+        q0 = jnp.asarray(0.0, dtype=bp.dtype)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
-    q0 = jnp.asarray(0.0, dtype=bp.dtype)
     healthy0 = (rz0 > 0) & jnp.isfinite(rz0)
     state0 = (x0, r0, p0, rz0, 0, q0, 0, healthy0, b2)
 
