@@ -319,6 +319,7 @@ class _SolverCtx:
 
         self._use_pallas = pallas_enabled(geometry.x.dtype)
         self._steps = {}
+        self._hosts = {}
         self._loops = {}
         self._warmed = False
         self._eval = self._build_eval()
@@ -643,6 +644,231 @@ class _SolverCtx:
 
         return jax.jit(loop)
 
+    # -- host sparse direct path (fine levels) ------------------------------
+
+    def _host_enabled(self, level: int) -> bool:
+        """Fine levels solve their Newton systems with the host sparse
+        direct solver (hostsolve module doc: direct factorization is
+        mathematically required mid-path, and factor reuse makes it cheap).
+        MG-CG remains for multi-device meshes (host gather semantics under
+        GSPMD are not wired yet) and via MGB_FINE_SOLVER=mgcg for A/B."""
+        if self.linear_solver is not None or level == 0:
+            return False
+        if self.spec.nfields * self._bases[level].m <= self.backend.dense_threshold:
+            return False
+        if self.backend.mesh is not None:
+            return False
+        return os.environ.get("MGB_FINE_SOLVER", "host") == "host"
+
+    def _get_host(self, level: int):
+        from .hostsolve import HostDirectLevel
+
+        pattern = self._get_host_pattern(level)
+        h = self._hosts[level]
+        if "pre" not in h:
+            h.update(
+                solver=HostDirectLevel(
+                    pattern,
+                    rtol=self.cg_rtol,
+                    stale_cap=int(
+                        os.environ.get("MGB_HOST_STALE_CAP", "25")
+                    ),
+                ),
+                full_ids=jnp.asarray(pattern.full_ids),
+                pre=jax.jit(self._build_host_pre(level)),
+                post=jax.jit(self._build_host_post(level)),
+            )
+        return h
+
+    def _build_host_pre(self, level: int):
+        """Device half 1 of a host-solved Newton step: barrier derivatives,
+        gradient scatter, element Hessians, and the segment-sum reduction
+        to deduplicated sparse values (hostsolve.HostPattern) — everything
+        up to (and excluding) the linear solve, as fused MXU contractions."""
+        spec, barrier, ops = self.spec, self.barrier, self.ops
+        nf, k = spec.nfields, spec.k
+        F1 = jax.grad(barrier, argnums=1)
+        F2 = jax.hessian(barrier, argnums=1)
+        basis = self._bases[level]
+        nl, nq = basis.nl, basis.nq
+        nseg = self._get_host_pattern(level).nseg
+
+        def pre(Pl, basis_l, x, w, c, z, t, full_ids):
+            nelem = Pl.shape[0]
+            y = _apply_D(ops, spec, z)
+            F0v = jax.vmap(barrier)(x, y)
+            cy = jnp.sum(w * jnp.sum(c * y, axis=1))
+            fy0 = _masked_wsum(w, F0v)
+            F1v = jax.vmap(F1)(x, y)
+            gy = (w[:, None] * (t * c + F1v)).reshape(nelem, nq, k)
+            gf = jnp.einsum("eqj,eqjc->ec", gy, Pl)
+            gv = basis_l.scatter_add(
+                gf.reshape(nelem, nf, nl).transpose(0, 2, 1).reshape(-1, nf)
+            ).T  # (nf, m+1), pad row zeroed
+            Y2w = jax.vmap(F2)(x, y) * w[:, None, None]
+            He = self._assemble_He(Pl, Y2w.reshape(nelem, nq, k, k))
+            vals = jax.ops.segment_sum(
+                He.reshape(-1), full_ids.reshape(-1), num_segments=nseg
+            )
+            return vals, gv, y, cy, fy0
+
+        return pre
+
+    def _get_host_pattern(self, level: int):
+        from .hostsolve import HostPattern
+
+        if level not in self._hosts:
+            basis = self._bases[level]
+            self._hosts[level] = dict(
+                pattern=HostPattern(
+                    np.asarray(basis.idx), basis.m, self.spec.nfields
+                )
+            )
+        return self._hosts[level]["pattern"]
+
+    def _build_host_post(self, level: int):
+        """Device half 2: direction contraction, Newton decrement, damped
+        backtracking line search, iterate update — identical semantics to
+        the tail of _build_step."""
+        spec, barrier, ops = self.spec, self.barrier, self.ops
+        nf, k = spec.nfields, spec.k
+        armijo, max_bt = self.armijo, self.max_backtrack
+        basis = self._bases[level]
+        nl, nq = basis.nl, basis.nq
+
+        def post(Pl, idx, rloc, x, w, c, z, t, y, cy, fy0, gv, dvp):
+            nelem = Pl.shape[0]
+            lam2 = -jnp.vdot(gv, dvp)
+            dve = dvp[:, idx]  # (nf, nelem, nl)
+            dve_flat = dve.transpose(1, 0, 2).reshape(nelem, nf * nl)
+            dY = jnp.einsum("eqjc,ec->eqj", Pl, dve_flat).reshape(-1, k)
+            c_dY = jnp.sum(w * jnp.sum(c * dY, axis=1))
+            lam = jnp.sqrt(jnp.maximum(lam2, 0.0))
+            alpha0 = jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
+
+            def dphi_of(alpha):
+                ya = y + alpha * dY
+                dfy = _masked_wsum(w, jax.vmap(barrier)(x, ya)) - fy0
+                return t * alpha * c_dY + dfy
+
+            def accept(alpha, dphi):
+                return jnp.isfinite(dphi) & (dphi <= -armijo * alpha * lam2)
+
+            def cond(state):
+                alpha, dphia, it = state
+                return (~accept(alpha, dphia)) & (it < max_bt)
+
+            def body(state):
+                alpha, _, it = state
+                alpha = alpha * 0.5
+                return alpha, dphi_of(alpha), it + 1
+
+            alpha, dphia, bt = jax.lax.while_loop(
+                cond, body, (alpha0, dphi_of(alpha0), 0)
+            )
+            alpha = jnp.where(accept(alpha, dphia), alpha, 0.0)
+            dz = jnp.einsum("eqa,fea->eqf", rloc, dve).reshape(z.shape)
+            z_new = jnp.where(alpha > 0, z + alpha * dz, z)
+            dphi = jnp.where(alpha > 0, dphia, 0.0)
+            return z_new, lam2, alpha, dphi
+
+        return post
+
+    def _run_level_host(self, level: int, z, t, theta2: float):
+        """Newton iteration for a host-solved level: per step, one device
+        kernel to assemble (pre), a host sparse direct/stale-factor solve,
+        one device kernel to line-search and update (post).  Stop logic
+        mirrors _build_loop exactly, but runs natively on the host (no
+        traced history).  On accelerators each device kernel is
+        milliseconds — the long-kernel watchdog class of failures does not
+        exist on this path."""
+        h = self._get_host(level)
+        pre, post, solver = h["pre"], h["post"], h["solver"]
+        full_ids = h["full_ids"]
+        basis = self._bases[level]
+        Pl = self._P[level]
+        rloc = basis.rloc
+        nf, m = self.spec.nfields, basis.m
+        dtype = z.dtype
+        t_arr = jnp.asarray(t, dtype=dtype)
+        eps = float(np.finfo(np.asarray(z).dtype).eps)
+        patience = self.newton_patience
+
+        import time as _time
+
+        def _retry(fn, *args):
+            for attempt in range(3):
+                try:
+                    return fn(*args)
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == 2 or not any(
+                        s in str(e) for s in self._RETRYABLE
+                    ):
+                        raise
+                    _time.sleep(10.0 * (attempt + 1))
+
+        tr = {
+            key: []
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel")
+        }
+        dv_host = None
+        code = self.RUNNING
+        kg = 0
+        while True:
+            vals, gv, y, cy, fy0 = _retry(
+                pre, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+            )
+            g_np = np.asarray(jax.device_get(gv), np.float64).reshape(-1)
+            vals_np = np.asarray(jax.device_get(vals), np.float64)
+            x_dir, cgits, cgrel = solver.solve(vals_np, -g_np, x0=dv_host)
+            dv_host = x_dir
+            dvp = jnp.asarray(x_dir.reshape(nf, m + 1), dtype=dtype)
+            dvp = dvp.at[:, m].set(0.0)
+            z, lam2, alpha, dphi = _retry(
+                post, Pl, basis.idx, rloc, self.x, self.w, self.c, z,
+                t_arr, y, cy, fy0, gv, dvp,
+            )
+            lam2 = float(lam2)
+            alpha = float(alpha)
+            dphi = float(dphi)
+            cyf = float(cy)
+            phi0 = float(t) * cyf + float(fy0)
+            tr["lam2"].append(lam2)
+            tr["alpha"].append(alpha)
+            tr["phi"].append(phi0)
+            tr["dphi"].append(dphi)
+            tr["cy"].append(cyf)
+            tr["cgits"].append(float(cgits))
+            tr["cgrel"].append(float(cgrel))
+            # stop logic (same semantics/order as _build_loop's body)
+            l2 = tr["lam2"]
+            stall_quad = (
+                kg >= 5
+                and lam2 <= 0.25
+                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
+            )
+            floor = 64.0 * eps * (abs(phi0) + 1.0)
+            stall_floor = kg >= 2 and max(
+                abs(d) for d in tr["dphi"][-3:]
+            ) <= floor
+            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
+            if not math.isfinite(lam2):
+                code = self.DIVERGED
+            elif alpha == 0.0:
+                code = self.LOCKED
+            elif lam2 <= theta2:
+                code = self.CONVERGED
+            elif stall_quad or stall_floor or patient:
+                code = self.STALLED
+            kg += 1
+            if code != self.RUNNING:
+                break
+            if kg >= self.newton_cap:
+                code = self.CAPPED
+                break
+        tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
+        return z, kg, code, tr_cat
+
     def _sub_levels(self, level: int):
         """MG-CG hierarchy for `level`: an mg_depth-level cycle (Chebyshev
         smoothing on the upper levels, exact dense solve at the cycle's
@@ -695,7 +921,10 @@ class _SolverCtx:
     def run_level(self, level: int, z, t, theta2: float):
         """Run the full Newton iteration at `level` in device chunks of
         `newton_chunk` iterations (see _build_loop); returns
-        (z, its, stop_code, traces) with one host sync per chunk."""
+        (z, its, stop_code, traces) with one host sync per chunk.  Fine
+        levels route to the host sparse direct solver (_run_level_host)."""
+        if self._host_enabled(level):
+            return self._run_level_host(level, z, t, theta2)
         if level not in self._loops:
             raw_loop = self._build_loop(level)
             n_smooth = max(1, len(self._sub_levels(level)) - 1)

@@ -38,15 +38,31 @@ def _record(H, b):
 
 
 def capture_solver(H, b):
-    # the hook runs under jit: ship concrete values out via debug.callback
+    # the hook runs under jit: ship concrete values out via debug.callback.
+    # Mirrors dense_solve's unshifted-first + shift-escalation ladder
+    # (solver/linsolve.py) — without it the path fails near t ~ 1e6 when a
+    # negative pivot NaNs the factorization.
     import jax
+    import jax.numpy as jnp
     import jax.scipy.linalg as jsla
 
     jax.debug.callback(_record, H, b)
-    cf = jsla.cho_factor(H)
-    x = jsla.cho_solve(cf, b)
-    for _ in range(2):
-        x = x + jsla.cho_solve(cf, b - H @ x)
+    eps = float(jnp.finfo(b.dtype).eps)
+    ii = jnp.arange(H.shape[0])
+
+    def attempt(shift):
+        Hs = H.at[ii, ii].mul(1.0 + shift) if shift else H
+        cf = jsla.cho_factor(Hs)
+        x = jsla.cho_solve(cf, b)
+        for _ in range(2):
+            x = x + jsla.cho_solve(cf, b - H @ x)
+        return x
+
+    x = attempt(0.0)
+    for s in (500 * eps, 50000 * eps):
+        x = jax.lax.cond(
+            jnp.all(jnp.isfinite(x)), lambda x: x, lambda _: attempt(s), x
+        )
     return x
 
 
@@ -57,7 +73,10 @@ print(
     f"c={float(sol.SOL_main.c_dot_Dz[-1]):.12e} its={sol.SOL_main.its.tolist()}"
 )
 
-N = captured[0][0].shape[0]
+# the hook fires at every level; keep only the finest (largest N)
+N = max(H.shape[0] for H, _ in captured)
+captured = [(H, b) for H, b in captured if H.shape[0] == N]
+print(f"fine-level systems: {len(captured)} of size {N}")
 
 
 def pcg_its(H, b, cf, maxiter=120, tol=1e-9):
