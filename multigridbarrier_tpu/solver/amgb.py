@@ -265,6 +265,12 @@ class _SolverCtx:
         self.newton_chunk = int(
             os.environ.get("MGB_NEWTON_CHUNK", default_chunk)
         )
+        # Line-search start: "full" tries alpha=1 and lets Armijo +
+        # feasibility (NaN -> reject) backtrack — the long-step IPM
+        # schedule; "damped" starts at the self-concordance step
+        # 1/(1+lam).  A/B knob for the endgame grind (50+ damped its per
+        # t at t>=1e5: alpha0 ~ 1/lam makes per-it progress ~ constant).
+        self.ls_full = os.environ.get("MGB_LS_ALPHA0", "damped") == "full"
 
         g = geometry
         self.levels = len(g.bases[subspace])
@@ -356,6 +362,7 @@ class _SolverCtx:
         spec, barrier, ops = self.spec, self.barrier, self.ops
         nf, k = spec.nfields, spec.k
         armijo, max_bt = self.armijo, self.max_backtrack
+        ls_full = self.ls_full
         F1 = jax.grad(barrier, argnums=1)
         F2 = jax.hessian(barrier, argnums=1)
         custom_solve = self.linear_solver
@@ -449,7 +456,11 @@ class _SolverCtx:
             c_dY = jnp.sum(w * jnp.sum(c * dY, axis=1))
 
             lam = jnp.sqrt(jnp.maximum(lam2, 0.0))
-            alpha0 = jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
+            alpha0 = (
+                jnp.ones_like(lam)
+                if ls_full
+                else jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
+            )
 
             def dphi_of(alpha):
                 # difference form: at large t, |phi| ~ t while the Armijo
@@ -666,6 +677,28 @@ class _SolverCtx:
         pattern = self._get_host_pattern(level)
         h = self._hosts[level]
         if "pre" not in h:
+            pre = self._build_host_pre(level)
+            post = self._build_host_post(level)
+
+            # One Newton step = ONE device program: line-search/update for
+            # the solved direction (post, step k) fused with the assembly
+            # for the next step (pre, step k+1).  On the axon tunnel each
+            # device call costs a 30-100ms RTT, and the host loop blocks
+            # once per step on device_get — fusing post+pre makes that one
+            # blocking sync per Newton iteration instead of two (plus one
+            # wasted pre on the stopping iteration, milliseconds of device
+            # time).
+            def step(Pl, basis_l, rloc, x, w, c, z, t, y, cy, fy0, gv,
+                     dvp, full_ids):
+                z_new, lam2, alpha, dphi = post(
+                    Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy, fy0, gv,
+                    dvp,
+                )
+                vals2, gv2, y2, cy2, fy02 = pre(
+                    Pl, basis_l, x, w, c, z_new, t, full_ids
+                )
+                return z_new, lam2, alpha, dphi, vals2, gv2, y2, cy2, fy02
+
             h.update(
                 solver=HostDirectLevel(
                     pattern,
@@ -675,8 +708,8 @@ class _SolverCtx:
                     ),
                 ),
                 full_ids=jnp.asarray(pattern.full_ids),
-                pre=jax.jit(self._build_host_pre(level)),
-                post=jax.jit(self._build_host_post(level)),
+                pre=jax.jit(pre),
+                step=jax.jit(step),
             )
         return h
 
@@ -733,6 +766,7 @@ class _SolverCtx:
         spec, barrier, ops = self.spec, self.barrier, self.ops
         nf, k = spec.nfields, spec.k
         armijo, max_bt = self.armijo, self.max_backtrack
+        ls_full = self.ls_full
         basis = self._bases[level]
         nl, nq = basis.nl, basis.nq
 
@@ -744,7 +778,11 @@ class _SolverCtx:
             dY = jnp.einsum("eqjc,ec->eqj", Pl, dve_flat).reshape(-1, k)
             c_dY = jnp.sum(w * jnp.sum(c * dY, axis=1))
             lam = jnp.sqrt(jnp.maximum(lam2, 0.0))
-            alpha0 = jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
+            alpha0 = (
+                jnp.ones_like(lam)
+                if ls_full
+                else jnp.where(lam <= 0.25, 1.0, 1.0 / (1.0 + lam))
+            )
 
             def dphi_of(alpha):
                 ya = y + alpha * dY
@@ -783,7 +821,7 @@ class _SolverCtx:
         milliseconds — the long-kernel watchdog class of failures does not
         exist on this path."""
         h = self._get_host(level)
-        pre, post, solver = h["pre"], h["post"], h["solver"]
+        pre, step, solver = h["pre"], h["step"], h["solver"]
         full_ids = h["full_ids"]
         basis = self._bases[level]
         Pl = self._P[level]
@@ -814,30 +852,38 @@ class _SolverCtx:
         dv_host = None
         code = self.RUNNING
         kg = 0
+        # initial assembly at the incoming iterate; afterwards each fused
+        # `step` call returns the assembly for the next iterate, and the
+        # loop blocks exactly once per Newton iteration (the device_get
+        # below fetches the step's scalars AND the next assembly together)
+        vals, gv, y, cy, fy0 = _retry(
+            pre, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+        )
+        vals_np, g_np, cyf, fy0f = jax.device_get((vals, gv, cy, fy0))
         while True:
-            vals, gv, y, cy, fy0 = _retry(
-                pre, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+            x_dir, cgits, cgrel = solver.solve(
+                np.asarray(vals_np, np.float64),
+                -np.asarray(g_np, np.float64).reshape(-1),
+                x0=dv_host,
             )
-            g_np = np.asarray(jax.device_get(gv), np.float64).reshape(-1)
-            vals_np = np.asarray(jax.device_get(vals), np.float64)
-            x_dir, cgits, cgrel = solver.solve(vals_np, -g_np, x0=dv_host)
             dv_host = x_dir
             dvp = jnp.asarray(x_dir.reshape(nf, m + 1), dtype=dtype)
             dvp = dvp.at[:, m].set(0.0)
-            z, lam2, alpha, dphi = _retry(
-                post, Pl, basis.idx, rloc, self.x, self.w, self.c, z,
-                t_arr, y, cy, fy0, gv, dvp,
+            (z, lam2_d, alpha_d, dphi_d, vals, gv, y, cy, fy0) = _retry(
+                step, Pl, basis, rloc, self.x, self.w, self.c, z,
+                t_arr, y, cy, fy0, gv, dvp, full_ids,
             )
-            lam2 = float(lam2)
-            alpha = float(alpha)
-            dphi = float(dphi)
-            cyf = float(cy)
-            phi0 = float(t) * cyf + float(fy0)
+            lam2_a, alpha_a, dphi_a, vals_np, g_np, cy_a, fy0_a = (
+                jax.device_get((lam2_d, alpha_d, dphi_d, vals, gv, cy, fy0))
+            )
+            lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            phi0 = float(t) * float(cyf) + float(fy0f)
             tr["lam2"].append(lam2)
             tr["alpha"].append(alpha)
             tr["phi"].append(phi0)
             tr["dphi"].append(dphi)
-            tr["cy"].append(cyf)
+            tr["cy"].append(float(cyf))
+            cyf, fy0f = cy_a, fy0_a
             tr["cgits"].append(float(cgits))
             tr["cgrel"].append(float(cgrel))
             # stop logic (same semantics/order as _build_loop's body)
@@ -1266,6 +1312,7 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
         kw.get("subspace", "dirichlet"),
         kw.get("linear_solver"),
         kw.get("newton_cap", 50),
+        os.environ.get("MGB_LS_ALPHA0", "damped"),
         int(os.environ.get("MGB_NEWTON_PATIENCE", "0")),
         int(
             os.environ.get(
