@@ -44,6 +44,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import sys
 import time
 from typing import Callable, Optional, Tuple
 
@@ -661,13 +662,17 @@ class _SolverCtx:
         """Fine levels solve their Newton systems with the host sparse
         direct solver (hostsolve module doc: direct factorization is
         mathematically required mid-path, and factor reuse makes it cheap).
-        MG-CG remains for multi-device meshes (host gather semantics under
-        GSPMD are not wired yet) and via MGB_FINE_SOLVER=mgcg for A/B."""
+        Meshed backends use it too: under single-controller GSPMD the
+        device half (pre/step) runs sharded with XLA collectives and
+        jax.device_get gathers the nnz values, so the host solve is
+        placement-agnostic (measured: identical its and c to 1.3e-9 vs
+        the single-device run at fem2d L=4 on an 8-device mesh).
+        MG-CG remains via MGB_FINE_SOLVER=mgcg — the scale-out path when
+        a serialized host solve would bottleneck (Amdahl) and the A/B
+        baseline (tools/ab_fine_solver.py)."""
         if self.linear_solver is not None or level == 0:
             return False
         if self.spec.nfields * self._bases[level].m <= self.backend.dense_threshold:
-            return False
-        if self.backend.mesh is not None:
             return False
         return os.environ.get("MGB_FINE_SOLVER", "host") == "host"
 
@@ -856,11 +861,13 @@ class _SolverCtx:
         # `step` call returns the assembly for the next iterate, and the
         # loop blocks exactly once per Newton iteration (the device_get
         # below fetches the step's scalars AND the next assembly together)
+        t_get = t_host = t_disp = 0.0
         vals, gv, y, cy, fy0 = _retry(
             pre, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
         )
         vals_np, g_np, cyf, fy0f = jax.device_get((vals, gv, cy, fy0))
         while True:
+            tm = _time.perf_counter()
             x_dir, cgits, cgrel = solver.solve(
                 np.asarray(vals_np, np.float64),
                 -np.asarray(g_np, np.float64).reshape(-1),
@@ -869,13 +876,18 @@ class _SolverCtx:
             dv_host = x_dir
             dvp = jnp.asarray(x_dir.reshape(nf, m + 1), dtype=dtype)
             dvp = dvp.at[:, m].set(0.0)
+            t_host += _time.perf_counter() - tm
+            tm = _time.perf_counter()
             (z, lam2_d, alpha_d, dphi_d, vals, gv, y, cy, fy0) = _retry(
                 step, Pl, basis, rloc, self.x, self.w, self.c, z,
                 t_arr, y, cy, fy0, gv, dvp, full_ids,
             )
+            t_disp += _time.perf_counter() - tm
+            tm = _time.perf_counter()
             lam2_a, alpha_a, dphi_a, vals_np, g_np, cy_a, fy0_a = (
                 jax.device_get((lam2_d, alpha_d, dphi_d, vals, gv, cy, fy0))
             )
+            t_get += _time.perf_counter() - tm
             lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
             phi0 = float(t) * float(cyf) + float(fy0f)
             tr["lam2"].append(lam2)
@@ -912,6 +924,14 @@ class _SolverCtx:
             if kg >= self.newton_cap:
                 code = self.CAPPED
                 break
+        if os.environ.get("MGB_HOST_STATS"):
+            print(
+                f"# host[level={level}] t={t:.3e} its={kg} "
+                f"factors={solver.n_factor} solves={solver.n_solve} "
+                f"t_factor={solver.t_factor:.2f}s t_solve={solver.t_solve:.2f}s "
+                f"| loop: get={t_get:.2f}s host={t_host:.2f}s disp={t_disp:.2f}s",
+                file=sys.stderr,
+            )
         tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
         return z, kg, code, tr_cat
 

@@ -39,6 +39,8 @@ TPU-watchdog chunking already forces (newton_chunk=1).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
@@ -165,8 +167,11 @@ class HostDirectLevel:
         self.lu = None
         self.n_factor = 0
         self.n_solve = 0
+        self.t_factor = 0.0
+        self.t_solve = 0.0
 
     def _refactor(self, A: sp.csr_matrix):
+        t0 = time.perf_counter()
         eps = np.finfo(np.float64).eps
         Ac = A.tocsc()
         for s in self.shifts:
@@ -184,9 +189,11 @@ class HostDirectLevel:
                     continue
                 self.lu = lu
                 self.n_factor += 1
+                self.t_factor += time.perf_counter() - t0
                 return True
             except RuntimeError:
                 continue
+        self.t_factor += time.perf_counter() - t0
         return False
 
     def _direct(self, A, b):
@@ -230,6 +237,13 @@ class HostDirectLevel:
         return x, maxiter, False
 
     def solve(self, vals: np.ndarray, b: np.ndarray, x0=None):
+        t0 = time.perf_counter()
+        try:
+            return self._solve(vals, b, x0)
+        finally:
+            self.t_solve += time.perf_counter() - t0
+
+    def _solve(self, vals: np.ndarray, b: np.ndarray, x0=None):
         A = self.pattern.fill(np.asarray(vals, np.float64))
         b = np.asarray(b, np.float64)
         self.n_solve += 1
