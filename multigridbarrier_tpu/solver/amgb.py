@@ -1154,10 +1154,25 @@ def _path_follow(
     # escalation if a t-step fails.
     use_coarse = not start_fine
     retry_stage = 0
+    # Path extrapolation (predictor): the central path is z(t) = z* + a/t
+    # + O(1/t^2), so two converged iterates determine the next start to
+    # second order: z_pred = z2 + gamma (z2 - z1) with
+    # gamma = (1/t3 - 1/t2)/(1/t2 - 1/t1) — Richardson extrapolation in
+    # 1/t, no linear solve needed.  MEASURED-REJECTED as a default
+    # (fem2d L=4/L=5): the extrapolated start sits near the cone
+    # boundary at low-weight quadrature rows, where even feasibility-
+    # and descent-guarded predictions (finite phi, phi decreased, 0.8
+    # safety backoff) wedge the damped line search — the fine level
+    # LOCKS prematurely and the path stops 1.6e-3 short of the true
+    # objective (50.61967 vs 50.61808), while accepted iteration savings
+    # are nil.  The knob remains for barrier problems with fat margins.
+    predict = os.environ.get("MGB_PREDICT", "0") == "1"
+    z_conv_prev = t_conv_prev = None  # converged pair behind the current t
+    z_conv_cur = None  # converged iterate at the last completed t
     ctx.warmup(z, t, theta ** 2)
     while True:
         ts.append(t)
-        z_backup = z
+        z_backup = z if z_conv_cur is None else z_conv_cur
         its_backup = its.copy()
         locked_backup = set(locked_levels)
         ok = True
@@ -1251,8 +1266,43 @@ def _path_follow(
             break
         if t >= t_end * (1 - 1e-12):
             break
+        t_done = t
         kap = min(user_kappa, kap * kap) if kap < user_kappa else user_kappa
-        t = min(t * kap, t_end)
+        t = min(t_done * kap, t_end)
+        z_done = z  # converged iterate at t_done
+        # predictor: extrapolate the converged pair (z_prev@t_prev,
+        # z_done@t_done) to the new t; guarded by feasibility AND
+        # non-increase of the new barrier potential (gamma halves toward
+        # the plain warm start gamma = 0)
+        if predict and z_conv_prev is not None:
+            # 0.8 safety: the full extrapolation aims AT z(t_new), whose
+            # boundary margins are ~1/kappa of the current ones, so the
+            # O(1/t^2) extrapolation error can land ON the cone boundary
+            # (measured at fem2d L=4: a full-gamma prediction wedged one
+            # low-weight quadrature row outside the cone, locking the
+            # path 2.7e-3 short).  Backing off keeps a margin cushion of
+            # ~(1-safety)*current while still removing most of the warm-
+            # start error.
+            gam = 0.8 * (1.0 / t - 1.0 / t_done) / (
+                1.0 / t_done - 1.0 / t_conv_prev
+            )
+            dz_path = z_done - z_conv_prev
+            phi_base = float(ctx.evaluate(z_done, t)[0])
+            for _ in range(3):
+                z_try = z_done + gam * dz_path
+                phi_try = float(ctx.evaluate(z_try, t)[0])
+                if os.environ.get("MGB_PREDICT_DEBUG"):
+                    emit(
+                        f"[amgb:{phase}] predict t={t:.3e} gam={gam:.4f} "
+                        f"phi_base={phi_base:.10e} phi_try={phi_try:.10e} "
+                        f"accept={math.isfinite(phi_try) and phi_try <= phi_base}"
+                    )
+                if math.isfinite(phi_try) and phi_try <= phi_base:
+                    z = z_try
+                    break
+                gam *= 0.5
+        z_conv_prev, t_conv_prev = z_done, t_done
+        z_conv_cur = z_done
 
     # Final polish at the finest level: fully center at t_end so that
     # independent runs (1 vs N devices) agree to Newton tolerance

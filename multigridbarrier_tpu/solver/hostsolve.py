@@ -39,6 +39,7 @@ TPU-watchdog chunking already forces (newton_chunk=1).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -170,16 +171,35 @@ class HostDirectLevel:
         self.t_factor = 0.0
         self.t_solve = 0.0
 
-    def _refactor(self, A: sp.csr_matrix):
+    # SuperLU mode: the Newton matrices are SPD, so symmetric-mode
+    # ordering (MMD on A+A', diagonal pivoting) gives a fill that is a
+    # property of the SPARSITY PATTERN alone.  Default partial pivoting
+    # re-routes pivots on ill-conditioned mid-path matrices and the fill
+    # explodes with conditioning: measured at fem2d L=7 (N=32k), default
+    # COLAMD factors the benign t=1 matrix in 0.9s but mid-path matrices
+    # in 7-10s, while symmetric mode is a flat 2.8s on both.  Diagonal
+    # pivoting on a cond ~1e15 matrix is backstopped by the isfinite
+    # check, iterative refinement, and a one-shot partial-pivoting
+    # fallback when the refined residual is still poor.
+    _SYM_KW = dict(
+        permc_spec="MMD_AT_PLUS_A",
+        diag_pivot_thresh=0.0,
+        options=dict(SymmetricMode=True),
+    )
+
+    def _refactor(self, A: sp.csr_matrix, pivot: bool = False):
         t0 = time.perf_counter()
         eps = np.finfo(np.float64).eps
         Ac = A.tocsc()
+        kw = {} if pivot or os.environ.get(
+            "MGB_HOST_ORDERING"
+        ) == "colamd" else self._SYM_KW
         for s in self.shifts:
             try:
                 M = Ac if s == 0.0 else (
                     Ac + sp.diags(s * eps * Ac.diagonal())
                 ).tocsc()
-                lu = spla.splu(M)
+                lu = spla.splu(M, **kw)
                 # reject factors with non-finite entries (splu can succeed
                 # structurally yet overflow on a floor-singular matrix)
                 if not (
@@ -194,12 +214,32 @@ class HostDirectLevel:
             except RuntimeError:
                 continue
         self.t_factor += time.perf_counter() - t0
+        if not pivot and not kw == {}:
+            # symmetric-mode diagonal pivoting can fail outright on a
+            # floor-singular matrix where threshold pivoting survives
+            return self._refactor(A, pivot=True)
         return False
 
     def _direct(self, A, b):
         x = self.lu.solve(b)
         for _ in range(2):
             x = x + self.lu.solve(b - A @ x)
+        return x
+
+    def _direct_checked(self, A, b):
+        """Direct solve + IR; if the refined residual is still poor (the
+        no-pivot symmetric factor lost too much), redo once with partial
+        pivoting and keep the better solution."""
+        x = self._direct(A, b)
+        nb = np.linalg.norm(b)
+        r = np.linalg.norm(b - A @ x) if np.all(np.isfinite(x)) else np.inf
+        if r > 1e-6 * max(nb, 1e-300) and self._refactor(A, pivot=True):
+            x2 = self._direct(A, b)
+            r2 = np.linalg.norm(b - A @ x2) if np.all(
+                np.isfinite(x2)
+            ) else np.inf
+            if r2 < r:
+                x = x2
         return x
 
     def _pcg(self, A, b, x0, maxiter):
@@ -250,7 +290,7 @@ class HostDirectLevel:
         if self.lu is None:
             if not self._refactor(A):
                 return np.zeros_like(b), 0, np.inf
-            x = self._direct(A, b)
+            x = self._direct_checked(A, b)
             its = 0
         else:
             x, its, broke = self._pcg(A, b, x0, self.stale_cap)
@@ -260,7 +300,7 @@ class HostDirectLevel:
             if broke or r2 > self.rtol**2 * float(b @ b):
                 # stale factor exhausted: rebuild and finish direct
                 if self._refactor(A):
-                    x2 = self._direct(A, b)
+                    x2 = self._direct_checked(A, b)
                     # keep the better of PCG iterate and direct solve by
                     # captured decrement (the direct solve of a floor-
                     # singular system can be garbage the PCG iterate isn't)
