@@ -709,7 +709,7 @@ class _SolverCtx:
                     pattern,
                     rtol=self.cg_rtol,
                     stale_cap=int(
-                        os.environ.get("MGB_HOST_STALE_CAP", "25")
+                        os.environ.get("MGB_HOST_STALE_CAP", "40")
                     ),
                 ),
                 full_ids=jnp.asarray(pattern.full_ids),
@@ -827,6 +827,7 @@ class _SolverCtx:
         exist on this path."""
         h = self._get_host(level)
         pre, step, solver = h["pre"], h["step"], h["solver"]
+        solver.rel_bar = solver.rtol  # see hostsolve._solve bar reset note
         full_ids = h["full_ids"]
         basis = self._bases[level]
         Pl = self._P[level]
