@@ -674,7 +674,21 @@ class _SolverCtx:
             return False
         if self.spec.nfields * self._bases[level].m <= self.backend.dense_threshold:
             return False
-        return os.environ.get("MGB_FINE_SOLVER", "host") == "host"
+        return self._fine_solver() == "host"
+
+    def _fine_solver(self) -> str:
+        """Fine-level Newton-system solver: 'nd' (on-device nested-
+        dissection multifrontal Cholesky, solver/ndsolve.py), 'host'
+        (host SuperLU with factor reuse, solver/hostsolve.py), or
+        'mgcg' (on-device multigrid-preconditioned CG)."""
+        return os.environ.get("MGB_FINE_SOLVER", "nd")
+
+    def _nd_enabled(self, level: int) -> bool:
+        if self.linear_solver is not None or level == 0:
+            return False
+        if self.spec.nfields * self._bases[level].m <= self.backend.dense_threshold:
+            return False
+        return self._fine_solver() == "nd"
 
     def _get_host(self, level: int):
         from .hostsolve import HostDirectLevel
@@ -763,6 +777,236 @@ class _SolverCtx:
                 )
             )
         return self._hosts[level]["pattern"]
+
+    # -- on-device nested-dissection direct path (fine levels) --------------
+
+    def _get_nd(self, level: int):
+        """ND solver state: symbolic factorization (host, cached) + the
+        fully-fused Newton-step program (line search + assembly + factor
+        + solve, all inside one jit — the only per-iteration host
+        traffic is the stop-logic scalars)."""
+        from .ndsolve import NDFactorizer, NDSymbolic, node_coords
+
+        pattern = self._get_host_pattern(level)
+        h = self._hosts[level]
+        if "nd_step" not in h:
+            basis = self._bases[level]
+            m, nf = basis.m, self.spec.nfields
+            gx = np.asarray(self.geometry.x)
+            sym = NDSymbolic(
+                np.asarray(basis.idx),
+                m,
+                nf,
+                node_coords(basis.idx, m, gx, basis.nq),
+                leaf=int(os.environ.get("MGB_ND_LEAF", "16")),
+            )
+            dtype = self.backend.dtype
+            fz = NDFactorizer(sym, dtype=dtype)
+            pre = self._build_host_pre(level)
+            post = self._build_host_post(level)
+            nuniq = sym.nuniq
+            pair_i = jnp.asarray(sym.pair_i)
+            pair_j = jnp.asarray(sym.pair_j)
+            pair_pid = jnp.asarray(sym.pair_pid)
+            # node-major per-dof diagonal ids: vals[(f*nf+f)*nuniq+diag]
+            diag_ids = jnp.asarray(
+                (
+                    (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :]
+                    * nuniq
+                    + sym.diag_pid[:, None]
+                ).reshape(-1)
+            )
+
+            def matvec(vals, xv):
+                """Exact A @ x from the deduplicated pair blocks."""
+                vb = vals.reshape(nf, nf, nuniq)
+                xm = xv.reshape(m, nf)
+                contrib = jnp.einsum(
+                    "fgp,pg->pf", vb[:, :, pair_pid], xm[pair_j]
+                )
+                return jax.ops.segment_sum(
+                    contrib, pair_i, num_segments=m
+                ).reshape(-1)
+
+            def direction(vals, gv):
+                """Newton direction: on-device multifrontal factor +
+                solve + 2 rounds of exact-matvec iterative refinement
+                (the dense path's recipe, linsolve.dense_solve), with a
+                Jacobi fallback when a floor-singular factorization
+                surfaces NaNs (keeps a descent direction so the damped
+                line search — not a poisoned iterate — decides)."""
+                b = -gv[:, :m].T.reshape(-1)
+                fac = fz.factor(vals)
+                xv = fz.solve(fac, b)
+                # factor-preconditioned CG polish (masked, fixed trip
+                # count inside fori_loop so the body compiles once):
+                # recovers the accuracy a floor-conditioned factorization
+                # loses, faster than plain IR per application (measured
+                # fem2d L=4 forced-ND: plain solve 112 Newton its, 4xIR
+                # 106, 8xCG 91 — host-SuperLU parity)
+                n_cg = int(os.environ.get("MGB_ND_PCG", "8"))
+
+                def cg_body(_, st):
+                    xv, r, p, rz = st
+                    Ap = matvec(vals, p)
+                    pAp = jnp.vdot(p, Ap)
+                    ok = (
+                        jnp.isfinite(pAp)
+                        & (pAp > 0)
+                        & jnp.isfinite(rz)
+                        & (rz > 0)
+                    )
+                    al = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+                    xv = xv + al * p
+                    r = r - al * Ap
+                    z2 = fz.solve(fac, r)
+                    rz2 = jnp.vdot(r, z2)
+                    beta = jnp.where(
+                        ok & (rz2 > 0), rz2 / jnp.where(ok, rz, 1.0), 0.0
+                    )
+                    p = jnp.where(ok, z2 + beta * p, p)
+                    return xv, r, p, rz2
+
+                if n_cg:
+                    r0 = b - matvec(vals, xv)
+                    z0 = fz.solve(fac, r0)
+                    st = (xv, r0, z0, jnp.vdot(r0, z0))
+                    xv_cg = jax.lax.fori_loop(0, n_cg, cg_body, st)[0]
+
+                    def q_of(v):
+                        return 0.5 * jnp.vdot(v, matvec(vals, v)) - jnp.vdot(
+                            b, v
+                        )
+
+                    q_ir, q_cg = q_of(xv), q_of(xv_cg)
+                    take_cg = (
+                        jnp.all(jnp.isfinite(xv_cg))
+                        & jnp.isfinite(q_cg)
+                        & (q_cg <= q_ir)
+                    )
+                    xv = jnp.where(take_cg, xv_cg, xv)
+                dg = jnp.maximum(jnp.abs(vals[diag_ids]), 1e-300)
+                ok = jnp.all(jnp.isfinite(xv))
+                xv = jnp.where(ok, xv, b / dg)
+                dvp = jnp.concatenate(
+                    [
+                        xv.reshape(m, nf).T,
+                        jnp.zeros((nf, 1), xv.dtype),
+                    ],
+                    axis=1,
+                )
+                return dvp
+
+            def nd_init(Pl, basis_l, x, w, c, z, t, full_ids):
+                vals, gv, y, cy, fy0 = pre(
+                    Pl, basis_l, x, w, c, z, t, full_ids
+                )
+                return gv, y, cy, fy0, direction(vals, gv)
+
+            def nd_step(Pl, basis_l, rloc, x, w, c, z, t, y, cy, fy0,
+                        gv, dvp, full_ids):
+                z_new, lam2, alpha, dphi = post(
+                    Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy, fy0,
+                    gv, dvp,
+                )
+                vals2, gv2, y2, cy2, fy02 = pre(
+                    Pl, basis_l, x, w, c, z_new, t, full_ids
+                )
+                dv2 = direction(vals2, gv2)
+                return (z_new, lam2, alpha, dphi, gv2, y2, cy2, fy02,
+                        dv2)
+
+            h.update(
+                nd_init=jax.jit(nd_init),
+                nd_step=jax.jit(nd_step),
+                nd_full_ids=jnp.asarray(pattern.full_ids),
+            )
+        return h
+
+    def _run_level_nd(self, level: int, z, t, theta2: float):
+        """Newton iteration with the on-device direct solver: ONE device
+        program per step (line search + assembly + factor + solve), one
+        small scalar fetch for the stop logic — no vals/rhs transfers,
+        no host factorization.  Stop logic mirrors _run_level_host."""
+        h = self._get_nd(level)
+        nd_init, nd_step = h["nd_init"], h["nd_step"]
+        full_ids = h["nd_full_ids"]
+        basis = self._bases[level]
+        Pl = self._P[level]
+        rloc = basis.rloc
+        dtype = z.dtype
+        t_arr = jnp.asarray(t, dtype=dtype)
+        eps = float(np.finfo(np.asarray(z).dtype).eps)
+        patience = self.newton_patience
+
+        import time as _time
+
+        def _retry(fn, *args):
+            for attempt in range(3):
+                try:
+                    return fn(*args)
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == 2 or not any(
+                        s in str(e) for s in self._RETRYABLE
+                    ):
+                        raise
+                    _time.sleep(10.0 * (attempt + 1))
+
+        tr = {
+            key: []
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel")
+        }
+        code = self.RUNNING
+        kg = 0
+        gv, y, cy, fy0, dvp = _retry(
+            nd_init, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+        )
+        cyf, fy0f = jax.device_get((cy, fy0))
+        while True:
+            (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp) = _retry(
+                nd_step, Pl, basis, rloc, self.x, self.w, self.c, z,
+                t_arr, y, cy, fy0, gv, dvp, full_ids,
+            )
+            lam2_a, alpha_a, dphi_a, cy_a, fy0_a = jax.device_get(
+                (lam2_d, alpha_d, dphi_d, cy, fy0)
+            )
+            lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            phi0 = float(t) * float(cyf) + float(fy0f)
+            tr["lam2"].append(lam2)
+            tr["alpha"].append(alpha)
+            tr["phi"].append(phi0)
+            tr["dphi"].append(dphi)
+            tr["cy"].append(float(cyf))
+            tr["cgits"].append(0.0)
+            tr["cgrel"].append(0.0)
+            cyf, fy0f = cy_a, fy0_a
+            l2 = tr["lam2"]
+            stall_quad = (
+                kg >= 5
+                and lam2 <= 0.25
+                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
+            )
+            floor = 64.0 * eps * (abs(phi0) + 1.0)
+            stall_floor = kg >= 2 and max(
+                abs(d) for d in tr["dphi"][-3:]
+            ) <= floor
+            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
+            if not math.isfinite(lam2):
+                code = self.DIVERGED
+            elif alpha == 0.0:
+                code = self.LOCKED
+            elif lam2 <= theta2:
+                code = self.CONVERGED
+            elif stall_quad or stall_floor or patient:
+                code = self.STALLED
+            kg += 1
+            if code != self.RUNNING:
+                break
+            if kg >= self.newton_cap:
+                code = self.CAPPED
+                break
+        tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
+        return z, kg, code, tr_cat
 
     def _build_host_post(self, level: int):
         """Device half 2: direction contraction, Newton decrement, damped
@@ -990,6 +1234,8 @@ class _SolverCtx:
         `newton_chunk` iterations (see _build_loop); returns
         (z, its, stop_code, traces) with one host sync per chunk.  Fine
         levels route to the host sparse direct solver (_run_level_host)."""
+        if self._nd_enabled(level):
+            return self._run_level_nd(level, z, t, theta2)
         if self._host_enabled(level):
             return self._run_level_host(level, z, t, theta2)
         if level not in self._loops:

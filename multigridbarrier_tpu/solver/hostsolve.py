@@ -174,6 +174,9 @@ class HostDirectLevel:
         # the attainable-accuracy tracker behind the adaptive stale-PCG
         # acceptance bar (see _solve)
         self.rel_bar = float(rtol)
+        # online unit costs for the self-tuning PCG budget (_cap)
+        self.t_pcg = 0.0
+        self.n_pcgit = 0
 
     # SuperLU mode: the Newton matrices are SPD, so symmetric-mode
     # ordering (MMD on A+A', diagonal pivoting) gives a fill that is a
@@ -245,6 +248,15 @@ class HostDirectLevel:
         subspace where the stale factor is still exact."""
         rt = self.rtol if rel_target is None else rel_target
         rtol2 = rt * rt * (b @ b)
+        t0 = time.perf_counter()
+        try:
+            out = self._pcg_inner(A, b, x0, maxiter, rtol2)
+            self.n_pcgit += out[1]
+            return out
+        finally:
+            self.t_pcg += time.perf_counter() - t0
+
+    def _pcg_inner(self, A, b, x0, maxiter, rtol2):
         if x0 is not None and np.all(np.isfinite(x0)):
             x = x0.copy()
             r = b - A @ x
@@ -281,6 +293,20 @@ class HostDirectLevel:
             return self._solve(vals, b, x0)
         finally:
             self.t_solve += time.perf_counter() - t0
+
+    def _cap(self) -> int:
+        """Self-tuning stale-PCG budget: spend up to ~one refactor's
+        worth of wall time on stale-factor iterations before paying the
+        refactor (equal marginal cost).  Both unit costs are measured
+        online; stale_cap is the floor and 4x stale_cap the ceiling.
+        At fem2d L=6 (factor 0.3s, CG it 8ms) this lands at the old
+        fixed 40; at L=7 (factor 2.8s, CG it 26ms) it rises to ~100,
+        exactly where expensive factors want a harder-working PCG."""
+        if self.n_factor == 0 or self.n_pcgit < 8:
+            return self.stale_cap
+        t_fac = self.t_factor / self.n_factor
+        t_it = max(self.t_pcg / self.n_pcgit, 1e-5)
+        return int(min(max(self.stale_cap, t_fac / t_it), 4 * self.stale_cap))
 
     def _rel(self, A, b, x):
         if x is None or not np.all(np.isfinite(x)):
@@ -324,7 +350,7 @@ class HostDirectLevel:
         # rerun collapsed to 44 its / wrong objective before the reset).
         bar = min(max(self.rtol, 4.0 * self.rel_bar), 1e-2)
         if self.lu is not None:
-            x_st, its, _broke = self._pcg(A, b, x0, self.stale_cap, bar)
+            x_st, its, _broke = self._pcg(A, b, x0, self._cap(), bar)
             rel_st = self._rel(A, b, x_st)
             if rel_st <= bar:
                 return x_st, its, rel_st

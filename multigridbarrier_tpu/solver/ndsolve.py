@@ -1,0 +1,504 @@
+"""On-device nested-dissection multifrontal Cholesky — the TPU-native
+sparse direct solver for fine-level Newton systems.
+
+Why a device-side direct solver
+-------------------------------
+The host sparse-direct path (hostsolve.py) is mathematically right but
+economically wrong on the target hardware: the container host has ONE
+CPU core, a SuperLU factorization at fem2d L=7 (N=32k) costs ~3s, the
+endgame wants a refactor every 1-2 Newton steps, and each stale-PCG
+Newton step burns ~0.9s of single-core triangular solves — measured
+t_solve 200s by t=1e4 on the L=7 TPU run, while the TPU idles between
+~ms assembly kernels.  The reference's MUMPS runs the same algorithm
+multithreaded on 10 laptop cores (docs/src/guide.md:221-238); a 1-core
+Python host cannot match it.  The accelerator can.
+
+A multifrontal factorization is a SCHEDULE OF DENSE OPERATIONS: batched
+Cholesky of supernode diagonal blocks, batched triangular solves,
+batched Schur-complement updates.  Those are exactly the primitives a
+TPU executes well (MXU), and the schedule is STATIC per sparsity
+pattern — XLA compiles it once and nothing re-plans inside the Newton
+loop (the same design rule as runtime/elements.py).  The sparse
+structure lives entirely in precomputed gather/scatter index arrays;
+the numeric phase is pure batched dense algebra + segment-sums, and it
+drops INSIDE the Newton-step jit: assemble -> factor -> solve -> line
+search with zero host round-trips.
+
+Structure
+---------
+* NDSymbolic (host, numpy, cached per level): geometric nested
+  dissection of the mesh-node graph (coordinate median bisection with a
+  one-sided vertex separator), elimination tree, per-depth front
+  buckets (padded to common shapes), and three families of NODE-PAIR
+  index maps (fields ride along as dense nf x nf blocks — 4x smaller
+  maps than dof-level and block gathers vectorize better):
+    - assembly:  vals pair-id -> (front, row-slot, col-slot);
+    - extend-add: child Schur pair -> ancestor front pair, fanned in
+      DIRECTLY to the deeper owner (additivity of F_BB through
+      intermediate eliminations makes hop-by-hop extend-add
+      unnecessary);
+    - solve:     global dof id <-> (front, slot) for the two sweeps.
+  The `vals` input is the SAME deduplicated segment-sum array the host
+  path uses (hostsolve.HostPattern layout: ((f1*nf+f2)*nuniq + pid)).
+* NDFactorizer (jax, jittable): an unrolled loop over tree depths
+  (deepest first), each depth one batch of fronts with identical padded
+  shapes.  ~8 fused ops per depth, ~log2(m) depths: a factorization is
+  ~100 XLA ops of batched dense algebra — device-time at the per-op
+  latency floor instead of seconds of single-core SuperLU.
+
+Numerics match the on-device dense path (linsolve.dense_solve): the
+factorization is UNSHIFTED (a diagonal shift destroys the Newton
+direction at barrier conditioning); pad slots carry an identity
+diagonal; floor-singular blocks surface as NaNs which the caller
+detects and escalates exactly like the dense path's shift ladder.
+
+Reference parity: replaces MUMPS in the reference's solve hook
+(src/MultiGridBarrierMPI.jl:233-247) with an architecture the reference
+cannot express — its MUMPS call is an opaque host library; here the
+factorization is XLA ops on the accelerator, sharing the compile
+cache, dtype policy, and jit boundary with the rest of the solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Symbolic phase (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Front:
+    sep: np.ndarray  # node ids eliminated at this front
+    bd: np.ndarray  # boundary node ids (strict-ancestor separator nodes)
+    depth: int
+    parent: int
+
+
+def _build_tree(adj, coords, leaf: int):
+    """Recursive coordinate-median bisection with one-sided vertex
+    separators (sep = p0 nodes adjacent to p1, detected via one CSR
+    row-slice per level)."""
+    fronts: List[_Front] = []
+
+    def rec(nodes: np.ndarray, depth: int, parent: int) -> int:
+        if len(nodes) <= leaf:
+            i = len(fronts)
+            fronts.append(_Front(sep=nodes, bd=None, depth=depth, parent=parent))
+            return i
+        c = coords[nodes]
+        spans = c.max(axis=0) - c.min(axis=0)
+        dim = int(np.argmax(spans))
+        med = np.median(c[:, dim])
+        mask = c[:, dim] <= med
+        if mask.all() or not mask.any():
+            order = np.argsort(c[:, dim], kind="stable")
+            mask = np.zeros(len(nodes), bool)
+            mask[order[: len(nodes) // 2]] = True
+        p0, p1 = nodes[mask], nodes[~mask]
+        in_p1 = np.zeros(coords.shape[0], bool)
+        in_p1[p1] = True
+        sep_mask = np.asarray(
+            (adj[p0][:, in_p1.nonzero()[0]]).getnnz(axis=1) > 0
+        )
+        sep = p0[sep_mask]
+        rest0 = p0[~sep_mask]
+        i = len(fronts)
+        fronts.append(_Front(sep=sep, bd=None, depth=depth, parent=parent))
+        if len(rest0):
+            rec(rest0, depth + 1, i)
+        if len(p1):
+            rec(p1, depth + 1, i)
+        return i
+
+    rec(np.arange(coords.shape[0]), 0, -1)
+    return fronts
+
+
+class NDSymbolic:
+    """Symbolic factorization: tree, per-depth buckets, and index maps.
+
+    `idx` (nelem, nl) node ids with pad slot m, `m` real nodes, `nf`
+    fields, `coords` (m, dim) node coordinates for the bisection."""
+
+    def __init__(self, idx: np.ndarray, m: int, nf: int, coords: np.ndarray,
+                 leaf: int = 16):
+        import scipy.sparse as sp
+
+        idx = np.asarray(idx)
+        self.m, self.nf = int(m), int(nf)
+        keys = (
+            idx[:, :, None].astype(np.int64) * (m + 1) + idx[:, None, :]
+        ).reshape(-1)
+        uniq = np.unique(keys)
+        self.nuniq = len(uniq)
+        pi = uniq // (m + 1)
+        pj = uniq % (m + 1)
+        real = (pi < m) & (pj < m)
+        ii, jj = pi[real], pj[real]
+        off = ii != jj
+        A = sp.csr_matrix(
+            (np.ones(int(off.sum())), (ii[off], jj[off])), shape=(m, m)
+        )
+        A = ((A + A.T) > 0).astype(np.int8).tocsr()
+
+        fronts = _build_tree(A, np.asarray(coords), leaf)
+        nfr = len(fronts)
+        depth_of = np.array([f.depth for f in fronts])
+        parent = np.array([f.parent for f in fronts])
+
+        # boundaries bottom-up: bd(t) = (adj(sep t) U bd(children)) \ sep(t),
+        # then keep only strict-ancestor-owned nodes
+        owner = np.full(m, -1, np.int64)
+        for i, f in enumerate(fronts):
+            owner[f.sep] = i
+        order = sorted(range(nfr), key=lambda i: -depth_of[i])
+        bd_sets = [set() for _ in range(nfr)]
+        sub_up = [set() for _ in range(nfr)]
+        anc_cache: dict = {}
+
+        def ancestors(i):
+            if i not in anc_cache:
+                s = set()
+                j = parent[i]
+                while j >= 0:
+                    s.add(j)
+                    j = parent[j]
+                anc_cache[i] = s
+            return anc_cache[i]
+
+        for i in order:
+            f = fronts[i]
+            s = set()
+            if len(f.sep):
+                nbr = A.indices[
+                    np.concatenate(
+                        [
+                            np.arange(A.indptr[u], A.indptr[u + 1])
+                            for u in f.sep
+                        ]
+                    )
+                ] if len(f.sep) else np.empty(0, np.int64)
+                s.update(nbr.tolist())
+            s |= sub_up[i]
+            s -= set(f.sep.tolist())
+            anc = ancestors(i)
+            s = {u for u in s if owner[u] in anc}
+            bd_sets[i] = s
+            if parent[i] >= 0:
+                sub_up[parent[i]] |= s
+        for i, f in enumerate(fronts):
+            f.bd = np.fromiter(
+                sorted(bd_sets[i], key=lambda u: (depth_of[owner[u]], u)),
+                np.int64,
+                len(bd_sets[i]),
+            )
+
+        self.fronts = fronts
+        self.owner = owner
+        self.parent = parent
+        maxd = int(depth_of.max())
+        self.maxd = maxd
+        by_depth = [
+            [i for i in range(nfr) if depth_of[i] == d]
+            for d in range(maxd + 1)
+        ]
+        self.by_depth = by_depth
+        self.s_pad = [
+            max((len(fronts[i].sep) for i in by_depth[d]), default=0) or 1
+            for d in range(maxd + 1)
+        ]
+        self.b_pad = [
+            max((len(fronts[i].bd) for i in by_depth[d]), default=0)
+            for d in range(maxd + 1)
+        ]
+        self.local_id = np.full(nfr, -1, np.int64)
+        for d in range(maxd + 1):
+            for k, i in enumerate(by_depth[d]):
+                self.local_id[i] = k
+
+        # (front, node) -> padded slot lookup via sorted key array
+        slot_keys, slot_vals = [], []
+        for i, f in enumerate(fronts):
+            if len(f.sep):
+                slot_keys.append(np.int64(i) * m + f.sep)
+                slot_vals.append(np.arange(len(f.sep), dtype=np.int64))
+            if len(f.bd):
+                slot_keys.append(np.int64(i) * m + f.bd)
+                slot_vals.append(
+                    self.s_pad[depth_of[i]]
+                    + np.arange(len(f.bd), dtype=np.int64)
+                )
+        self._slot_keys = np.concatenate(slot_keys)
+        so = np.argsort(self._slot_keys, kind="stable")
+        self._slot_keys = self._slot_keys[so]
+        self._slot_vals = np.concatenate(slot_vals)[so]
+        self.depth_of = depth_of
+        self._build_maps(pi, pj, real)
+        self._build_solve_maps()
+
+    def _slots(self, front_ids: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._slot_keys, front_ids * self.m + nodes)
+        return self._slot_vals[pos]
+
+    def _build_maps(self, pi, pj, real):
+        nf = self.nf
+        maxd = self.maxd
+        depth_of, owner = self.depth_of, self.owner
+        Fn = [self.s_pad[d] + self.b_pad[d] for d in range(maxd + 1)]
+
+        # -- assembly (vectorized over all real pairs) ---------------------
+        pids = np.nonzero(real)[0]
+        i_n, j_n = pi[pids], pj[pids]
+        # exact pair-block matvec + Jacobi fallback support (IR rounds in
+        # the in-jit direction computation, amgb._build_nd_step)
+        self.pair_pid = pids
+        self.pair_i = i_n
+        self.pair_j = j_n
+        uniq_keys = pi * (self.m + 1) + pj
+        self.diag_pid = np.searchsorted(
+            uniq_keys, np.arange(self.m, dtype=np.int64) * (self.m + 2)
+        )
+        oi, oj = owner[i_n], owner[j_n]
+        t = np.where(depth_of[oi] >= depth_of[oj], oi, oj)
+        si = self._slots(t, i_n)
+        sj = self._slots(t, j_n)
+        td = depth_of[t]
+        k = self.local_id[t]
+        self.asm_pid: List[np.ndarray] = []
+        self.asm_dst: List[np.ndarray] = []
+        for d in range(maxd + 1):
+            sel = td == d
+            self.asm_pid.append(pids[sel])
+            self.asm_dst.append(
+                (k[sel] * Fn[d] + si[sel]) * Fn[d] + sj[sel]
+            )
+
+        # -- pad identity (interleaved dof layout) -------------------------
+        self.pad_eye: List[np.ndarray] = []
+        for d in range(maxd + 1):
+            n_d = len(self.by_depth[d])
+            F = Fn[d] * nf
+            eye = np.zeros((n_d, F, F))
+            for kk, i in enumerate(self.by_depth[d]):
+                f = self.fronts[i]
+                pads = list(range(len(f.sep), self.s_pad[d])) + [
+                    self.s_pad[d] + b
+                    for b in range(len(f.bd), self.b_pad[d])
+                ]
+                for s in pads:
+                    q = s * nf
+                    eye[kk, q : q + nf, q : q + nf] = np.eye(nf)
+            self.pad_eye.append(eye)
+
+        # -- extend-add: Schur pair (front i, a, b) -> deeper-owner front --
+        self.ea_src: List[np.ndarray] = []
+        self.ea_dst: List[np.ndarray] = []
+        self.ea_tgt: List[np.ndarray] = []
+        for d in range(maxd + 1):
+            srcs, dsts, tgts = [], [], []
+            Bn = self.b_pad[d]
+            for i in self.by_depth[d]:
+                f = self.fronts[i]
+                Bi = len(f.bd)
+                if Bi == 0:
+                    continue
+                kk = self.local_id[i]
+                ua = np.repeat(f.bd, Bi)
+                ub = np.tile(f.bd, Bi)
+                oa, ob = owner[ua], owner[ub]
+                tt = np.where(depth_of[oa] >= depth_of[ob], oa, ob)
+                ss_i = self._slots(tt, ua)
+                ss_j = self._slots(tt, ub)
+                ttd = depth_of[tt]
+                kt = self.local_id[tt]
+                a_id = np.repeat(np.arange(Bi), Bi)
+                b_id = np.tile(np.arange(Bi), Bi)
+                src = (np.int64(kk) * Bn + a_id) * Bn + b_id
+                Ft = np.asarray([Fn[x] for x in range(maxd + 1)])[ttd]
+                dst = (kt * Ft + ss_i) * Ft + ss_j
+                srcs.append(src)
+                dsts.append(dst)
+                tgts.append(ttd)
+            if srcs:
+                self.ea_src.append(np.concatenate(srcs))
+                self.ea_dst.append(np.concatenate(dsts))
+                self.ea_tgt.append(np.concatenate(tgts))
+            else:
+                self.ea_src.append(np.empty(0, np.int64))
+                self.ea_dst.append(np.empty(0, np.int64))
+                self.ea_tgt.append(np.empty(0, np.int64))
+
+    def _build_solve_maps(self):
+        nf = self.nf
+        maxd = self.maxd
+        self.sep_gids: List[np.ndarray] = []
+        self.bd_gids: List[np.ndarray] = []
+        N = self.m * nf
+        self.N = N
+        for d in range(maxd + 1):
+            n_d = len(self.by_depth[d])
+            sg = np.full((n_d, self.s_pad[d] * nf), N, np.int64)
+            bg = np.full((n_d, max(self.b_pad[d], 1) * nf), N, np.int64)
+            for k, i in enumerate(self.by_depth[d]):
+                f = self.fronts[i]
+                if len(f.sep):
+                    g = (f.sep[:, None] * nf + np.arange(nf)).reshape(-1)
+                    sg[k, : len(g)] = g
+                if len(f.bd):
+                    g = (f.bd[:, None] * nf + np.arange(nf)).reshape(-1)
+                    bg[k, : len(g)] = g
+            self.sep_gids.append(sg)
+            self.bd_gids.append(bg)
+
+
+# ---------------------------------------------------------------------------
+# Numeric phase (jax, jittable)
+# ---------------------------------------------------------------------------
+
+
+def _interleave(blocks, n_d, Fn, nf):
+    """(n_d*Fn*Fn, nf, nf) pair-blocks -> (n_d, Fn*nf, Fn*nf) dense."""
+    M = blocks.reshape(n_d, Fn, Fn, nf, nf)
+    return jnp.transpose(M, (0, 1, 3, 2, 4)).reshape(n_d, Fn * nf, Fn * nf)
+
+
+def _deinterleave(M, n_d, Bn, nf):
+    """(n_d, Bn*nf, Bn*nf) dense -> (n_d*Bn*Bn, nf, nf) pair-blocks."""
+    B = M.reshape(n_d, Bn, nf, Bn, nf)
+    return jnp.transpose(B, (0, 1, 3, 2, 4)).reshape(n_d * Bn * Bn, nf, nf)
+
+
+class NDFactorizer:
+    """Device-resident factor/solve built from an NDSymbolic schedule.
+
+    factor(vals) and solve(fac, b) are pure jittable functions; drop
+    them inside the Newton-step jit and the whole linear solve runs on
+    the accelerator."""
+
+    def __init__(self, sym: NDSymbolic, dtype=jnp.float64):
+        self.sym = sym
+        self.dtype = dtype
+        self.d_asm_pid = [jnp.asarray(a) for a in sym.asm_pid]
+        self.d_asm_dst = [jnp.asarray(a) for a in sym.asm_dst]
+        self.d_pad_eye = [jnp.asarray(a, dtype) for a in sym.pad_eye]
+        # extend-add, pre-split by target depth (static grouping)
+        self.d_ea = []
+        for d in range(sym.maxd + 1):
+            groups = {}
+            tgt = sym.ea_tgt[d]
+            for td in np.unique(tgt):
+                sel = np.nonzero(tgt == td)[0]
+                groups[int(td)] = (
+                    jnp.asarray(sym.ea_src[d][sel]),
+                    jnp.asarray(sym.ea_dst[d][sel]),
+                )
+            self.d_ea.append(groups)
+        self.d_sep_gids = [jnp.asarray(a) for a in sym.sep_gids]
+        self.d_bd_gids = [jnp.asarray(a) for a in sym.bd_gids]
+
+    def factor(self, vals: jnp.ndarray):
+        """vals: deduplicated segment array (HostPattern layout:
+        (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)]."""
+        sym = self.sym
+        nf, nuniq = sym.nf, sym.nuniq
+        dtype = self.dtype
+        vb = jnp.transpose(
+            vals.reshape(nf, nf, nuniq).astype(dtype), (2, 0, 1)
+        )  # (nuniq, nf, nf) pair blocks
+        Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.maxd + 1)]
+        pend = [
+            jnp.zeros(
+                (len(sym.by_depth[d]) * Fn[d] * Fn[d], nf, nf), dtype
+            )
+            for d in range(sym.maxd + 1)
+        ]
+        out = []
+        for d in range(sym.maxd, -1, -1):
+            n_d = len(sym.by_depth[d])
+            s = sym.s_pad[d] * nf
+            blocks = jax.ops.segment_sum(
+                vb[self.d_asm_pid[d]],
+                self.d_asm_dst[d],
+                num_segments=n_d * Fn[d] * Fn[d],
+            ) + pend[d]
+            fronts = (
+                _interleave(blocks, n_d, Fn[d], nf) + self.d_pad_eye[d]
+            )
+            Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
+            Lsb = jax.scipy.linalg.solve_triangular(
+                Ls, fronts[:, :s, s:], lower=True
+            )
+            out.append((Ls, Lsb))
+            if sym.b_pad[d]:
+                schur = fronts[:, s:, s:] - jnp.einsum(
+                    "kab,kac->kbc", Lsb, Lsb
+                )
+                sb = _deinterleave(schur, n_d, sym.b_pad[d], nf)
+                for td, (src, dst) in self.d_ea[d].items():
+                    pend[td] = pend[td] + jax.ops.segment_sum(
+                        sb[src],
+                        dst,
+                        num_segments=pend[td].shape[0],
+                    )
+        return out
+
+    def solve(self, fac, b: jnp.ndarray):
+        """Solve A x = b.  b: (N,) node-major global dofs
+        (dof = node * nf + field)."""
+        sym = self.sym
+        maxd = sym.maxd
+        dtype = self.dtype
+        bg = jnp.concatenate([b.astype(dtype), jnp.zeros(1, dtype)])
+        ys = []
+        for pos, d in enumerate(range(maxd, -1, -1)):
+            Ls, Lsb = fac[pos]
+            bS = bg[self.d_sep_gids[d]]
+            yS = jax.scipy.linalg.solve_triangular(
+                Ls, bS[:, :, None], lower=True
+            )[:, :, 0]
+            ys.append(yS)
+            if Lsb.shape[2]:
+                upd = -jnp.einsum("kab,ka->kb", Lsb, yS)
+                bg = bg.at[self.d_bd_gids[d].reshape(-1)].add(
+                    upd.reshape(-1)
+                )
+                bg = bg.at[-1].set(0.0)
+        xg = jnp.zeros(sym.N + 1, dtype)
+        for pos in range(len(fac) - 1, -1, -1):
+            d = maxd - pos
+            Ls, Lsb = fac[pos]
+            yS = ys[pos]
+            if Lsb.shape[2]:
+                xB = xg[self.d_bd_gids[d]]
+                yS = yS - jnp.einsum("kab,kb->ka", Lsb, xB)
+            xS = jax.scipy.linalg.solve_triangular(
+                Ls, yS[:, :, None], lower=True, trans=1
+            )[:, :, 0]
+            xg = xg.at[self.d_sep_gids[d].reshape(-1)].set(xS.reshape(-1))
+            xg = xg.at[-1].set(0.0)
+        return xg[: sym.N]
+
+
+def node_coords(idx: np.ndarray, m: int, x: np.ndarray, nq: int) -> np.ndarray:
+    """Per-node coordinates for the geometric bisection: mean of the
+    element-center coordinates of the elements touching each node."""
+    idx = np.asarray(idx)
+    x = np.asarray(x)
+    nelem, nl = idx.shape
+    dim = x.shape[1]
+    centers = x.reshape(nelem, nq, dim).mean(axis=1)
+    acc = np.zeros((m + 1, dim))
+    cnt = np.zeros(m + 1)
+    np.add.at(acc, idx.reshape(-1), np.repeat(centers, nl, axis=0))
+    np.add.at(cnt, idx.reshape(-1), 1.0)
+    cnt[cnt == 0] = 1.0
+    return (acc / cnt[:, None])[:m]
