@@ -1,0 +1,141 @@
+"""On-device nested-dissection multifrontal Cholesky (solver/ndsolve.py).
+
+Pins the three layers separately:
+* algorithm: factor/solve is EXACT (machine precision vs dense solve)
+  on synthetic SPD grid problems, nf=1 and nf=2, with pad slots;
+* integration: the same `vals` segment array drives ndsolve and
+  hostsolve.HostPattern — parity on a real assembled Newton matrix;
+* end-to-end: a forced-ND fem2d solve lands on the host-path objective.
+"""
+
+import importlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import multigridbarrier_tpu as mgb
+from multigridbarrier_tpu.backend import Backend
+from multigridbarrier_tpu.solver.ndsolve import (
+    NDFactorizer,
+    NDSymbolic,
+    node_coords,
+)
+
+A = importlib.import_module("multigridbarrier_tpu.solver.amgb")
+
+
+def _grid_problem(G, nf, pad, seed=0):
+    """G x G grid of quad elements with random SPD element matrices;
+    returns (idx, coords, vals HostPattern-layout, dense A node-major)."""
+    m = G * G
+    els = []
+    for i in range(G - 1):
+        for j in range(G - 1):
+            n00 = i * G + j
+            e = [n00, n00 + 1, n00 + G, n00 + G + 1]
+            if pad:
+                e.append(m)
+            els.append(e)
+    idx = np.asarray(els, np.int64)
+    nl = idx.shape[1]
+    coords = (
+        np.stack(np.meshgrid(np.arange(G), np.arange(G), indexing="ij"), -1)
+        .reshape(m, 2)
+        .astype(float)
+    )
+    keys = (idx[:, :, None] * (m + 1) + idx[:, None, :]).reshape(-1)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    nuniq = len(uniq)
+    rng = np.random.default_rng(seed)
+    vals = np.zeros(nf * nf * nuniq)
+    N = m * nf
+    Ad = np.zeros((N, N))
+    for e in range(idx.shape[0]):
+        C = 4 * nf
+        B = rng.standard_normal((C, C))
+        Me = B @ B.T + 6 * np.eye(C)
+        for a in range(4):
+            for b in range(4):
+                pid = inv[(e * nl + a) * nl + b]
+                for f1 in range(nf):
+                    for f2 in range(nf):
+                        v = Me[a * nf + f1, b * nf + f2]
+                        vals[(f1 * nf + f2) * nuniq + pid] += v
+                        Ad[idx[e, a] * nf + f1, idx[e, b] * nf + f2] += v
+    return idx, coords, vals, Ad
+
+
+@pytest.mark.parametrize("nf,pad", [(1, False), (2, True)])
+def test_factor_solve_exact_on_grid(nf, pad):
+    idx, coords, vals, Ad = _grid_problem(6, nf, pad)
+    sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=4)
+    fz = NDFactorizer(sym)
+    fac = fz.factor(jnp.asarray(vals))
+    for Ls, Lsb in fac:
+        assert bool(jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.isfinite(Lsb)))
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(Ad.shape[0])
+    x = np.asarray(fz.solve(fac, jnp.asarray(b)))
+    x_ref = np.linalg.solve(Ad, b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-12
+
+
+def test_real_newton_matrix_parity():
+    """ndsolve and scipy agree on a real fem2d Newton matrix assembled
+    from the SAME device vals array (HostPattern layout)."""
+    import scipy.sparse.linalg as spla
+
+    g = mgb.fem2d(L=3)
+    spec = A._normalize_D(A.default_D(2))
+    Qset = A.default_Q(2, 1.0)
+    dtype = g.x.dtype
+    c = jax.vmap(lambda xi: jnp.asarray(A.default_f(2, dtype)(xi), dtype))(g.x)
+    z0 = jax.vmap(lambda xi: jnp.asarray(A.default_g(2, dtype)(xi), dtype))(
+        g.x
+    )
+    ctx = A._SolverCtx(g, spec, Qset.barrier, c)
+    level = ctx.levels - 1
+    basis = ctx._bases[level]
+    pat = ctx._get_host_pattern(level)
+    h = ctx._get_host(level)
+    vals, gv, *_ = h["pre"](
+        ctx._P[level], basis, ctx.x, ctx.w, ctx.c, z0,
+        jnp.asarray(1.0, dtype), h["full_ids"],
+    )
+    vals_np = np.asarray(vals, np.float64)
+    m, nf = pat.m, pat.nf
+    coords = node_coords(basis.idx, m, np.asarray(g.x), basis.nq)
+    sym = NDSymbolic(np.asarray(basis.idx), m, nf, coords, leaf=8)
+    fz = NDFactorizer(sym)
+    fac = fz.factor(jnp.asarray(vals_np))
+    b_fm = np.asarray(gv, np.float64).reshape(nf, m + 1)[:, :m]
+    b_nd = b_fm.T.reshape(-1)
+    x_nd = np.asarray(fz.solve(fac, jnp.asarray(b_nd)))
+    lu = spla.splu(pat.fill(vals_np).tocsc())
+    x_fm = lu.solve(np.asarray(gv, np.float64).reshape(-1))
+    x_ref = x_fm.reshape(nf, m + 1)[:, :m].T.reshape(-1)
+    assert np.linalg.norm(x_nd - x_ref) / np.linalg.norm(x_ref) < 1e-10
+
+
+def test_end_to_end_forced_nd():
+    """Forced-ND fem2d solve matches the host-path objective (the fine
+    levels route through _run_level_nd when dense_threshold is low)."""
+    import os
+
+    b = Backend(dtype=jnp.float64, dense_threshold=256)
+    prev = os.environ.get("MGB_FINE_SOLVER")
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        s_nd = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+        os.environ["MGB_FINE_SOLVER"] = "host"
+        s_h = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_FINE_SOLVER", None)
+        else:
+            os.environ["MGB_FINE_SOLVER"] = prev
+    c_nd = s_nd.SOL_main.c_dot_Dz[-1]
+    c_h = s_h.SOL_main.c_dot_Dz[-1]
+    assert abs(c_nd - c_h) < 1e-6 * abs(c_h), (c_nd, c_h)
