@@ -805,30 +805,40 @@ class _SolverCtx:
             pre = self._build_host_pre(level)
             post = self._build_host_post(level)
             nuniq = sym.nuniq
-            pair_i = jnp.asarray(sym.pair_i)
-            pair_j = jnp.asarray(sym.pair_j)
-            pair_pid = jnp.asarray(sym.pair_pid)
-            # node-major per-dof diagonal ids: vals[(f*nf+f)*nuniq+diag]
-            diag_ids = jnp.asarray(
-                (
-                    (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :]
-                    * nuniq
-                    + sym.diag_pid[:, None]
-                ).reshape(-1)
+            # All large index maps travel as runtime ARGUMENTS of the
+            # jitted programs (device operands), never as closure
+            # constants: literal constants are serialized into the HLO
+            # and the axon remote compile service rejects the resulting
+            # multi-hundred-MB request with HTTP 413 (seen at L=7).
+            consts = dict(
+                nd=fz.consts(),
+                pair_i=jnp.asarray(sym.pair_i),
+                pair_j=jnp.asarray(sym.pair_j),
+                pair_pid=jnp.asarray(sym.pair_pid),
+                # node-major per-dof diagonal ids: vals[(f*nf+f)*nuniq+d]
+                diag_ids=jnp.asarray(
+                    (
+                        (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :]
+                        * nuniq
+                        + sym.diag_pid[:, None]
+                    ).reshape(-1)
+                ),
             )
 
-            def matvec(vals, xv):
+            def matvec(vals, xv, cst):
                 """Exact A @ x from the deduplicated pair blocks."""
                 vb = vals.reshape(nf, nf, nuniq)
                 xm = xv.reshape(m, nf)
                 contrib = jnp.einsum(
-                    "fgp,pg->pf", vb[:, :, pair_pid], xm[pair_j]
+                    "fgp,pg->pf",
+                    vb[:, :, cst["pair_pid"]],
+                    xm[cst["pair_j"]],
                 )
                 return jax.ops.segment_sum(
-                    contrib, pair_i, num_segments=m
+                    contrib, cst["pair_i"], num_segments=m
                 ).reshape(-1)
 
-            def direction(vals, gv):
+            def direction(vals, gv, cst):
                 """Newton direction: on-device multifrontal factor +
                 solve + 2 rounds of exact-matvec iterative refinement
                 (the dense path's recipe, linsolve.dense_solve), with a
@@ -836,8 +846,9 @@ class _SolverCtx:
                 surfaces NaNs (keeps a descent direction so the damped
                 line search — not a poisoned iterate — decides)."""
                 b = -gv[:, :m].T.reshape(-1)
-                fac = fz.factor(vals)
-                xv = fz.solve(fac, b)
+                ndc = cst["nd"]
+                fac = fz.factor(vals, ndc)
+                xv = fz.solve(fac, b, ndc)
                 # factor-preconditioned CG polish (masked, fixed trip
                 # count inside fori_loop so the body compiles once):
                 # recovers the accuracy a floor-conditioned factorization
@@ -848,7 +859,7 @@ class _SolverCtx:
 
                 def cg_body(_, st):
                     xv, r, p, rz = st
-                    Ap = matvec(vals, p)
+                    Ap = matvec(vals, p, cst)
                     pAp = jnp.vdot(p, Ap)
                     ok = (
                         jnp.isfinite(pAp)
@@ -859,7 +870,7 @@ class _SolverCtx:
                     al = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
                     xv = xv + al * p
                     r = r - al * Ap
-                    z2 = fz.solve(fac, r)
+                    z2 = fz.solve(fac, r, ndc)
                     rz2 = jnp.vdot(r, z2)
                     beta = jnp.where(
                         ok & (rz2 > 0), rz2 / jnp.where(ok, rz, 1.0), 0.0
@@ -868,15 +879,15 @@ class _SolverCtx:
                     return xv, r, p, rz2
 
                 if n_cg:
-                    r0 = b - matvec(vals, xv)
-                    z0 = fz.solve(fac, r0)
+                    r0 = b - matvec(vals, xv, cst)
+                    z0 = fz.solve(fac, r0, ndc)
                     st = (xv, r0, z0, jnp.vdot(r0, z0))
                     xv_cg = jax.lax.fori_loop(0, n_cg, cg_body, st)[0]
 
                     def q_of(v):
-                        return 0.5 * jnp.vdot(v, matvec(vals, v)) - jnp.vdot(
-                            b, v
-                        )
+                        return 0.5 * jnp.vdot(
+                            v, matvec(vals, v, cst)
+                        ) - jnp.vdot(b, v)
 
                     q_ir, q_cg = q_of(xv), q_of(xv_cg)
                     take_cg = (
@@ -885,7 +896,7 @@ class _SolverCtx:
                         & (q_cg <= q_ir)
                     )
                     xv = jnp.where(take_cg, xv_cg, xv)
-                dg = jnp.maximum(jnp.abs(vals[diag_ids]), 1e-300)
+                dg = jnp.maximum(jnp.abs(vals[cst["diag_ids"]]), 1e-300)
                 ok = jnp.all(jnp.isfinite(xv))
                 xv = jnp.where(ok, xv, b / dg)
                 dvp = jnp.concatenate(
@@ -897,14 +908,14 @@ class _SolverCtx:
                 )
                 return dvp
 
-            def nd_init(Pl, basis_l, x, w, c, z, t, full_ids):
+            def nd_init(Pl, basis_l, x, w, c, z, t, full_ids, cst):
                 vals, gv, y, cy, fy0 = pre(
                     Pl, basis_l, x, w, c, z, t, full_ids
                 )
-                return gv, y, cy, fy0, direction(vals, gv)
+                return gv, y, cy, fy0, direction(vals, gv, cst)
 
             def nd_step(Pl, basis_l, rloc, x, w, c, z, t, y, cy, fy0,
-                        gv, dvp, full_ids):
+                        gv, dvp, full_ids, cst):
                 z_new, lam2, alpha, dphi = post(
                     Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy, fy0,
                     gv, dvp,
@@ -912,7 +923,7 @@ class _SolverCtx:
                 vals2, gv2, y2, cy2, fy02 = pre(
                     Pl, basis_l, x, w, c, z_new, t, full_ids
                 )
-                dv2 = direction(vals2, gv2)
+                dv2 = direction(vals2, gv2, cst)
                 return (z_new, lam2, alpha, dphi, gv2, y2, cy2, fy02,
                         dv2)
 
@@ -920,6 +931,7 @@ class _SolverCtx:
                 nd_init=jax.jit(nd_init),
                 nd_step=jax.jit(nd_step),
                 nd_full_ids=jnp.asarray(pattern.full_ids),
+                nd_consts=consts,
             )
         return h
 
@@ -931,6 +943,7 @@ class _SolverCtx:
         h = self._get_nd(level)
         nd_init, nd_step = h["nd_init"], h["nd_step"]
         full_ids = h["nd_full_ids"]
+        nd_consts = h["nd_consts"]
         basis = self._bases[level]
         Pl = self._P[level]
         rloc = basis.rloc
@@ -959,13 +972,14 @@ class _SolverCtx:
         code = self.RUNNING
         kg = 0
         gv, y, cy, fy0, dvp = _retry(
-            nd_init, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+            nd_init, Pl, basis, self.x, self.w, self.c, z, t_arr,
+            full_ids, nd_consts,
         )
         cyf, fy0f = jax.device_get((cy, fy0))
         while True:
             (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp) = _retry(
                 nd_step, Pl, basis, rloc, self.x, self.w, self.c, z,
-                t_arr, y, cy, fy0, gv, dvp, full_ids,
+                t_arr, y, cy, fy0, gv, dvp, full_ids, nd_consts,
             )
             lam2_a, alpha_a, dphi_a, cy_a, fy0_a = jax.device_get(
                 (lam2_d, alpha_d, dphi_d, cy, fy0)

@@ -282,12 +282,14 @@ class NDSymbolic:
                 (k[sel] * Fn[d] + si[sel]) * Fn[d] + sj[sel]
             )
 
-        # -- pad identity (interleaved dof layout) -------------------------
-        self.pad_eye: List[np.ndarray] = []
+        # -- pad identity as per-dof diagonal masks ((n_d, F) 0/1; the
+        # dense (n_d, F, F) eye form was ~360MB of literal constants at
+        # L=7 and overflowed the remote compile service's request limit)
+        self.pad_mask: List[np.ndarray] = []
         for d in range(maxd + 1):
             n_d = len(self.by_depth[d])
             F = Fn[d] * nf
-            eye = np.zeros((n_d, F, F))
+            msk = np.zeros((n_d, F))
             for kk, i in enumerate(self.by_depth[d]):
                 f = self.fronts[i]
                 pads = list(range(len(f.sep), self.s_pad[d])) + [
@@ -295,9 +297,8 @@ class NDSymbolic:
                     for b in range(len(f.bd), self.b_pad[d])
                 ]
                 for s in pads:
-                    q = s * nf
-                    eye[kk, q : q + nf, q : q + nf] = np.eye(nf)
-            self.pad_eye.append(eye)
+                    msk[kk, s * nf : s * nf + nf] = 1.0
+            self.pad_mask.append(msk)
 
         # -- extend-add: Schur pair (front i, a, b) -> deeper-owner front --
         self.ea_src: List[np.ndarray] = []
@@ -380,32 +381,53 @@ def _deinterleave(M, n_d, Bn, nf):
 class NDFactorizer:
     """Device-resident factor/solve built from an NDSymbolic schedule.
 
-    factor(vals) and solve(fac, b) are pure jittable functions; drop
-    them inside the Newton-step jit and the whole linear solve runs on
-    the accelerator."""
+    factor(vals, consts) and solve(fac, b, consts) are pure jittable
+    functions; drop them inside the Newton-step jit and the whole
+    linear solve runs on the accelerator.  The index maps are NOT
+    closed over — `consts = factorizer.consts()` must be passed as a
+    runtime argument so the (tens of MB at L>=7) maps are device
+    operands instead of literal constants serialized into the HLO (the
+    axon remote compile service rejects oversized programs with
+    HTTP 413)."""
 
     def __init__(self, sym: NDSymbolic, dtype=jnp.float64):
         self.sym = sym
         self.dtype = dtype
-        self.d_asm_pid = [jnp.asarray(a) for a in sym.asm_pid]
-        self.d_asm_dst = [jnp.asarray(a) for a in sym.asm_dst]
-        self.d_pad_eye = [jnp.asarray(a, dtype) for a in sym.pad_eye]
-        # extend-add, pre-split by target depth (static grouping)
-        self.d_ea = []
+        # static grouping of the extend-add by target depth
+        self._ea_groups = []
         for d in range(sym.maxd + 1):
-            groups = {}
             tgt = sym.ea_tgt[d]
-            for td in np.unique(tgt):
+            self._ea_groups.append(
+                [int(td) for td in np.unique(tgt)]
+            )
+
+    def consts(self):
+        """Device-operand pytree of all index maps (pass to factor and
+        solve as an argument; build once per level and reuse)."""
+        sym = self.sym
+        ea = []
+        for d in range(sym.maxd + 1):
+            tgt = sym.ea_tgt[d]
+            groups = {}
+            for td in self._ea_groups[d]:
                 sel = np.nonzero(tgt == td)[0]
-                groups[int(td)] = (
+                groups[td] = (
                     jnp.asarray(sym.ea_src[d][sel]),
                     jnp.asarray(sym.ea_dst[d][sel]),
                 )
-            self.d_ea.append(groups)
-        self.d_sep_gids = [jnp.asarray(a) for a in sym.sep_gids]
-        self.d_bd_gids = [jnp.asarray(a) for a in sym.bd_gids]
+            ea.append(groups)
+        return dict(
+            asm_pid=[jnp.asarray(a) for a in sym.asm_pid],
+            asm_dst=[jnp.asarray(a) for a in sym.asm_dst],
+            pad_mask=[
+                jnp.asarray(a, self.dtype) for a in sym.pad_mask
+            ],
+            ea=ea,
+            sep_gids=[jnp.asarray(a) for a in sym.sep_gids],
+            bd_gids=[jnp.asarray(a) for a in sym.bd_gids],
+        )
 
-    def factor(self, vals: jnp.ndarray):
+    def factor(self, vals: jnp.ndarray, consts):
         """vals: deduplicated segment array (HostPattern layout:
         (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)]."""
         sym = self.sym
@@ -424,14 +446,18 @@ class NDFactorizer:
         out = []
         for d in range(sym.maxd, -1, -1):
             n_d = len(sym.by_depth[d])
+            F = Fn[d] * nf
             s = sym.s_pad[d] * nf
             blocks = jax.ops.segment_sum(
-                vb[self.d_asm_pid[d]],
-                self.d_asm_dst[d],
+                vb[consts["asm_pid"][d]],
+                consts["asm_dst"][d],
                 num_segments=n_d * Fn[d] * Fn[d],
             ) + pend[d]
-            fronts = (
-                _interleave(blocks, n_d, Fn[d], nf) + self.d_pad_eye[d]
+            # pad-dof identity via an iota eye (no materialized constant)
+            ar = jnp.arange(F)
+            eye = (ar[:, None] == ar[None, :]).astype(dtype)
+            fronts = _interleave(blocks, n_d, Fn[d], nf) + (
+                consts["pad_mask"][d][:, :, None] * eye[None]
             )
             Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             Lsb = jax.scipy.linalg.solve_triangular(
@@ -443,7 +469,8 @@ class NDFactorizer:
                     "kab,kac->kbc", Lsb, Lsb
                 )
                 sb = _deinterleave(schur, n_d, sym.b_pad[d], nf)
-                for td, (src, dst) in self.d_ea[d].items():
+                for td in self._ea_groups[d]:
+                    src, dst = consts["ea"][d][td]
                     pend[td] = pend[td] + jax.ops.segment_sum(
                         sb[src],
                         dst,
@@ -451,7 +478,7 @@ class NDFactorizer:
                     )
         return out
 
-    def solve(self, fac, b: jnp.ndarray):
+    def solve(self, fac, b: jnp.ndarray, consts):
         """Solve A x = b.  b: (N,) node-major global dofs
         (dof = node * nf + field)."""
         sym = self.sym
@@ -461,14 +488,14 @@ class NDFactorizer:
         ys = []
         for pos, d in enumerate(range(maxd, -1, -1)):
             Ls, Lsb = fac[pos]
-            bS = bg[self.d_sep_gids[d]]
+            bS = bg[consts["sep_gids"][d]]
             yS = jax.scipy.linalg.solve_triangular(
                 Ls, bS[:, :, None], lower=True
             )[:, :, 0]
             ys.append(yS)
             if Lsb.shape[2]:
                 upd = -jnp.einsum("kab,ka->kb", Lsb, yS)
-                bg = bg.at[self.d_bd_gids[d].reshape(-1)].add(
+                bg = bg.at[consts["bd_gids"][d].reshape(-1)].add(
                     upd.reshape(-1)
                 )
                 bg = bg.at[-1].set(0.0)
@@ -478,12 +505,14 @@ class NDFactorizer:
             Ls, Lsb = fac[pos]
             yS = ys[pos]
             if Lsb.shape[2]:
-                xB = xg[self.d_bd_gids[d]]
+                xB = xg[consts["bd_gids"][d]]
                 yS = yS - jnp.einsum("kab,kb->ka", Lsb, xB)
             xS = jax.scipy.linalg.solve_triangular(
                 Ls, yS[:, :, None], lower=True, trans=1
             )[:, :, 0]
-            xg = xg.at[self.d_sep_gids[d].reshape(-1)].set(xS.reshape(-1))
+            xg = xg.at[consts["sep_gids"][d].reshape(-1)].set(
+                xS.reshape(-1)
+            )
             xg = xg.at[-1].set(0.0)
         return xg[: sym.N]
 

@@ -72,12 +72,13 @@ def test_factor_solve_exact_on_grid(nf, pad):
     idx, coords, vals, Ad = _grid_problem(6, nf, pad)
     sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=4)
     fz = NDFactorizer(sym)
-    fac = fz.factor(jnp.asarray(vals))
+    cst = fz.consts()
+    fac = fz.factor(jnp.asarray(vals), cst)
     for Ls, Lsb in fac:
         assert bool(jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.isfinite(Lsb)))
     rng = np.random.default_rng(1)
     b = rng.standard_normal(Ad.shape[0])
-    x = np.asarray(fz.solve(fac, jnp.asarray(b)))
+    x = np.asarray(fz.solve(fac, jnp.asarray(b), cst))
     x_ref = np.linalg.solve(Ad, b)
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-12
 
@@ -109,10 +110,11 @@ def test_real_newton_matrix_parity():
     coords = node_coords(basis.idx, m, np.asarray(g.x), basis.nq)
     sym = NDSymbolic(np.asarray(basis.idx), m, nf, coords, leaf=8)
     fz = NDFactorizer(sym)
-    fac = fz.factor(jnp.asarray(vals_np))
+    cst = fz.consts()
+    fac = fz.factor(jnp.asarray(vals_np), cst)
     b_fm = np.asarray(gv, np.float64).reshape(nf, m + 1)[:, :m]
     b_nd = b_fm.T.reshape(-1)
-    x_nd = np.asarray(fz.solve(fac, jnp.asarray(b_nd)))
+    x_nd = np.asarray(fz.solve(fac, jnp.asarray(b_nd), cst))
     lu = spla.splu(pat.fill(vals_np).tocsc())
     x_fm = lu.solve(np.asarray(gv, np.float64).reshape(-1))
     x_ref = x_fm.reshape(nf, m + 1)[:, :m].T.reshape(-1)
