@@ -852,10 +852,15 @@ class _SolverCtx:
                 # factor-preconditioned CG polish (masked, fixed trip
                 # count inside fori_loop so the body compiles once):
                 # recovers the accuracy a floor-conditioned factorization
-                # loses, faster than plain IR per application (measured
-                # fem2d L=4 forced-ND: plain solve 112 Newton its, 4xIR
-                # 106, 8xCG 91 — host-SuperLU parity)
-                n_cg = int(os.environ.get("MGB_ND_PCG", "8"))
+                # loses.  Each CG iteration costs a full ND solve +
+                # matvec of device time, so accelerators default lower
+                # (per-iteration latency there is the solve count).
+                n_cg = int(
+                    os.environ.get(
+                        "MGB_ND_PCG",
+                        "6" if jax.default_backend() == "cpu" else "2",
+                    )
+                )
 
                 def cg_body(_, st):
                     xv, r, p, rz = st

@@ -390,9 +390,21 @@ class NDFactorizer:
     axon remote compile service rejects oversized programs with
     HTTP 413)."""
 
-    def __init__(self, sym: NDSymbolic, dtype=jnp.float64):
+    def __init__(self, sym: NDSymbolic, dtype=jnp.float64,
+                 use_inv: bool = None):
         self.sym = sym
         self.dtype = dtype
+        # Triangular application policy: substitution (backward-stable,
+        # preferred where it is fast) vs multiply-by-explicit-inverse
+        # (batched MXU matmuls — TPU triangular solves are sequential
+        # substitutions and crawl under f64 emulation, while the inverse
+        # costs ONE substitution per factor and a matmul per use).
+        # Measured fem2d L=6 CPU: Linv costs ~1e-6 objective drift and
+        # +10% Newton its at the f64 floor, so CPU keeps substitution;
+        # on TPU the solve-count latency dominates and Linv wins.
+        if use_inv is None:
+            use_inv = jax.default_backend() != "cpu"
+        self.use_inv = bool(use_inv)
         # static grouping of the extend-add by target depth
         self._ea_groups = []
         for d in range(sym.maxd + 1):
@@ -460,10 +472,19 @@ class NDFactorizer:
                 consts["pad_mask"][d][:, :, None] * eye[None]
             )
             Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
-            Lsb = jax.scipy.linalg.solve_triangular(
-                Ls, fronts[:, :s, s:], lower=True
-            )
-            out.append((Ls, Lsb))
+            if self.use_inv:
+                Lk = jax.scipy.linalg.solve_triangular(
+                    Ls,
+                    eye[None, :s, :s] * jnp.ones((n_d, 1, 1), dtype),
+                    lower=True,
+                )
+                Lsb = Lk @ fronts[:, :s, s:]
+            else:
+                Lk = Ls
+                Lsb = jax.scipy.linalg.solve_triangular(
+                    Ls, fronts[:, :s, s:], lower=True
+                )
+            out.append((Lk, Lsb))
             if sym.b_pad[d]:
                 schur = fronts[:, s:, s:] - jnp.einsum(
                     "kab,kac->kbc", Lsb, Lsb
@@ -487,11 +508,14 @@ class NDFactorizer:
         bg = jnp.concatenate([b.astype(dtype), jnp.zeros(1, dtype)])
         ys = []
         for pos, d in enumerate(range(maxd, -1, -1)):
-            Ls, Lsb = fac[pos]
+            Lk, Lsb = fac[pos]
             bS = bg[consts["sep_gids"][d]]
-            yS = jax.scipy.linalg.solve_triangular(
-                Ls, bS[:, :, None], lower=True
-            )[:, :, 0]
+            if self.use_inv:
+                yS = jnp.einsum("kab,kb->ka", Lk, bS)
+            else:
+                yS = jax.scipy.linalg.solve_triangular(
+                    Lk, bS[:, :, None], lower=True
+                )[:, :, 0]
             ys.append(yS)
             if Lsb.shape[2]:
                 upd = -jnp.einsum("kab,ka->kb", Lsb, yS)
@@ -502,14 +526,17 @@ class NDFactorizer:
         xg = jnp.zeros(sym.N + 1, dtype)
         for pos in range(len(fac) - 1, -1, -1):
             d = maxd - pos
-            Ls, Lsb = fac[pos]
+            Lk, Lsb = fac[pos]
             yS = ys[pos]
             if Lsb.shape[2]:
                 xB = xg[consts["bd_gids"][d]]
                 yS = yS - jnp.einsum("kab,kb->ka", Lsb, xB)
-            xS = jax.scipy.linalg.solve_triangular(
-                Ls, yS[:, :, None], lower=True, trans=1
-            )[:, :, 0]
+            if self.use_inv:
+                xS = jnp.einsum("kba,kb->ka", Lk, yS)
+            else:
+                xS = jax.scipy.linalg.solve_triangular(
+                    Lk, yS[:, :, None], lower=True, trans=1
+                )[:, :, 0]
             xg = xg.at[consts["sep_gids"][d].reshape(-1)].set(
                 xS.reshape(-1)
             )
