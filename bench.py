@@ -25,17 +25,29 @@ BASELINE_NATIVE_S = {1: 0.018, 2: 0.028, 3: 0.074, 4: 0.480, 5: 2.508, 6: 26.384
 
 
 def _run_in_subprocess() -> int:
-    """The shared TPU worker occasionally crashes mid-run (UNAVAILABLE);
-    a crashed PJRT client cannot recover in-process, so the measurement
-    runs in a child process and is retried once on failure."""
+    """The shared TPU worker occasionally crashes mid-run (UNAVAILABLE) or —
+    worse — the tunnel RPC hangs forever in a futex wait after a worker
+    restart; a crashed PJRT client cannot recover in-process, so the
+    measurement runs in a child process with a hard wall-clock timeout and
+    is retried once on failure."""
     env = dict(os.environ, MGB_BENCH_SUBPROCESS="1")
+    timeout_s = float(os.environ.get("MGB_BENCH_TIMEOUT", "5400"))
     for attempt in range(2):
-        res = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__)],
-            env=env,
-            stdout=subprocess.PIPE,
-            text=True,
-        )
+        try:
+            res = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# bench attempt {attempt + 1} timed out after {timeout_s:.0f}s; "
+                + ("retrying" if attempt == 0 else "giving up"),
+                file=sys.stderr,
+            )
+            continue
         out = res.stdout or ""
         line = next(
             (l for l in reversed(out.splitlines()) if l.startswith("{")), None
@@ -52,6 +64,13 @@ def _run_in_subprocess() -> int:
 
 
 def main():
+    # `kill -USR1 <pid>` dumps all thread stacks — the only way to see where
+    # a hung tunnel RPC is blocked (py-spy is not in the image).
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     L = int(os.environ.get("MGB_BENCH_L", "7"))
     dtype_name = os.environ.get("MGB_BENCH_DTYPE", "f64")
 

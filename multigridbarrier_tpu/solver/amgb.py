@@ -990,6 +990,13 @@ class _SolverCtx:
                 (lam2_d, alpha_d, dphi_d, cy, fy0)
             )
             lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            if os.environ.get("MGB_ND_HEARTBEAT"):
+                print(
+                    f"# newton L{level} it={kg} lam2={lam2:.3e} "
+                    f"alpha={alpha:.3f} wall={_time.time():.1f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             phi0 = float(t) * float(cyf) + float(fy0f)
             tr["lam2"].append(lam2)
             tr["alpha"].append(alpha)
@@ -1153,6 +1160,13 @@ class _SolverCtx:
             )
             t_get += _time.perf_counter() - tm
             lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            if os.environ.get("MGB_ND_HEARTBEAT"):
+                print(
+                    f"# newton L{level} it={kg} lam2={lam2:.3e} "
+                    f"alpha={alpha:.3f} wall={_time.time():.1f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             phi0 = float(t) * float(cyf) + float(fy0f)
             tr["lam2"].append(lam2)
             tr["alpha"].append(alpha)
@@ -1574,7 +1588,9 @@ def _path_follow(
     # independent runs (1 vs N devices) agree to Newton tolerance
     # (the reference's 1e-10 MPI-vs-native invariant, test/test_quick.jl:137).
     if early_stop is None:
+        emit(f"[amgb:{phase}] final polish t={t:.4e} target lam2={final_lam2:.3e}")
         z_new, nits, code, tr = ctx.run_level(L - 1, z, t, final_lam2)
+        emit(f"[amgb:{phase}] polish done its={nits} code={code}")
         if code != _SolverCtx.DIVERGED:
             z = z_new
             its[L - 1] += nits
