@@ -815,6 +815,8 @@ class _SolverCtx:
                 pair_i=jnp.asarray(sym.pair_i),
                 pair_j=jnp.asarray(sym.pair_j),
                 pair_pid=jnp.asarray(sym.pair_pid),
+                pair_ia=jnp.asarray(sym.pair_i_all),
+                pair_ja=jnp.asarray(sym.pair_j_all),
                 # node-major per-dof diagonal ids: vals[(f*nf+f)*nuniq+d]
                 diag_ids=jnp.asarray(
                     (
@@ -838,106 +840,164 @@ class _SolverCtx:
                     contrib, cst["pair_i"], num_segments=m
                 ).reshape(-1)
 
-            def direction(vals, gv, cst):
-                """Newton direction: on-device multifrontal factor +
-                solve + 2 rounds of exact-matvec iterative refinement
-                (the dense path's recipe, linsolve.dense_solve), with a
+            def make_direction(fdt, n_cg):
+                """Newton direction at factor precision `fdt` (None =
+                solver dtype): on-device multifrontal factor + solve +
+                factor-preconditioned CG polish in full precision (the
+                dense path's recipe, linsolve.dense_solve), with a
                 Jacobi fallback when a floor-singular factorization
                 surfaces NaNs (keeps a descent direction so the damped
-                line search — not a poisoned iterate — decides)."""
-                b = -gv[:, :m].T.reshape(-1)
-                ndc = cst["nd"]
-                fac = fz.factor(vals, ndc)
-                xv = fz.solve(fac, b, ndc)
-                # factor-preconditioned CG polish (masked, fixed trip
-                # count inside fori_loop so the body compiles once):
-                # recovers the accuracy a floor-conditioned factorization
-                # loses.  Each CG iteration costs a full ND solve +
-                # matvec of device time, so accelerators default lower
-                # (per-iteration latency there is the solve count).
-                n_cg = int(
-                    os.environ.get(
-                        "MGB_ND_PCG",
-                        "6" if jax.default_backend() == "cpu" else "2",
+                line search — not a poisoned iterate — decides).
+
+                With fdt=float32 this is the classic mixed-precision
+                direct solve: the factorization and triangular sweeps
+                run at MXU-native f32 rate while residuals, quadratic
+                model and the accepted direction stay f64 — valid while
+                eps32*cond(H) << 1, staged by t in _run_level_nd."""
+
+                def direction(vals, gv, cst):
+                    b = -gv[:, :m].T.reshape(-1)
+                    ndc = cst["nd"]
+                    if fdt is not None:
+                        # Symmetric Jacobi equilibration BEFORE the cast
+                        # (the same invariant as the f32 V-cycle,
+                        # linsolve.mgcg: barrier diagonals span ~t in
+                        # magnitude, and casting the unscaled system to
+                        # f32 poisons the Schur chain — measured at fem2d
+                        # L=6: path drifts 3e-4 shallow even with t<=1e4
+                        # staging and a CG-7 f64 polish).  Factor
+                        # D^-1/2 A D^-1/2 (unit diagonal) in f32 and
+                        # conjugate every application by s = D^-1/2.
+                        dgv = jnp.abs(vals[cst["diag_ids"]])
+                        s = jax.lax.rsqrt(jnp.maximum(dgv, 1e-300))
+                        snf = jnp.concatenate(
+                            [s.reshape(m, nf), jnp.ones((1, nf), s.dtype)]
+                        )  # (m+1, nf); pad node scale = 1
+                        ri = snf.T[:, cst["pair_ia"]][:, None, :]
+                        cj = snf.T[:, cst["pair_ja"]][None, :, :]
+                        vals_f = (
+                            vals.reshape(nf, nf, -1) * ri * cj
+                        ).reshape(-1)
+                    else:
+                        s = None
+                        vals_f = vals
+                    fac = fz.factor(vals_f, ndc, dtype=fdt)
+
+                    def apply_fac(r):
+                        if s is None:
+                            return fz.solve(fac, r, ndc).astype(r.dtype)
+                        return s * fz.solve(fac, s * r, ndc).astype(r.dtype)
+
+                    xv = apply_fac(b)
+
+                    def cg_body(_, st):
+                        xv, r, p, rz = st
+                        Ap = matvec(vals, p, cst)
+                        pAp = jnp.vdot(p, Ap)
+                        ok = (
+                            jnp.isfinite(pAp)
+                            & (pAp > 0)
+                            & jnp.isfinite(rz)
+                            & (rz > 0)
+                        )
+                        al = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+                        xv = xv + al * p
+                        r = r - al * Ap
+                        z2 = apply_fac(r)
+                        rz2 = jnp.vdot(r, z2)
+                        beta = jnp.where(
+                            ok & (rz2 > 0), rz2 / jnp.where(ok, rz, 1.0), 0.0
+                        )
+                        p = jnp.where(ok, z2 + beta * p, p)
+                        return xv, r, p, rz2
+
+                    if n_cg:
+                        r0 = b - matvec(vals, xv, cst)
+                        z0 = apply_fac(r0)
+                        st = (xv, r0, z0, jnp.vdot(r0, z0))
+                        xv_cg = jax.lax.fori_loop(0, n_cg, cg_body, st)[0]
+
+                        def q_of(v):
+                            return 0.5 * jnp.vdot(
+                                v, matvec(vals, v, cst)
+                            ) - jnp.vdot(b, v)
+
+                        q_ir, q_cg = q_of(xv), q_of(xv_cg)
+                        take_cg = (
+                            jnp.all(jnp.isfinite(xv_cg))
+                            & jnp.isfinite(q_cg)
+                            & (q_cg <= q_ir)
+                        )
+                        xv = jnp.where(take_cg, xv_cg, xv)
+                    dg = jnp.maximum(jnp.abs(vals[cst["diag_ids"]]), 1e-300)
+                    ok = jnp.all(jnp.isfinite(xv))
+                    xv = jnp.where(ok, xv, b / dg)
+                    dvp = jnp.concatenate(
+                        [
+                            xv.reshape(m, nf).T,
+                            jnp.zeros((nf, 1), xv.dtype),
+                        ],
+                        axis=1,
                     )
-                )
+                    return dvp
 
-                def cg_body(_, st):
-                    xv, r, p, rz = st
-                    Ap = matvec(vals, p, cst)
-                    pAp = jnp.vdot(p, Ap)
-                    ok = (
-                        jnp.isfinite(pAp)
-                        & (pAp > 0)
-                        & jnp.isfinite(rz)
-                        & (rz > 0)
+                return direction
+
+            def make_programs(direction):
+                def nd_init(Pl, basis_l, x, w, c, z, t, full_ids, cst):
+                    vals, gv, y, cy, fy0 = pre(
+                        Pl, basis_l, x, w, c, z, t, full_ids
                     )
-                    al = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
-                    xv = xv + al * p
-                    r = r - al * Ap
-                    z2 = fz.solve(fac, r, ndc)
-                    rz2 = jnp.vdot(r, z2)
-                    beta = jnp.where(
-                        ok & (rz2 > 0), rz2 / jnp.where(ok, rz, 1.0), 0.0
+                    return gv, y, cy, fy0, direction(vals, gv, cst)
+
+                def nd_step(Pl, basis_l, rloc, x, w, c, z, t, y, cy, fy0,
+                            gv, dvp, full_ids, cst):
+                    z_new, lam2, alpha, dphi = post(
+                        Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy, fy0,
+                        gv, dvp,
                     )
-                    p = jnp.where(ok, z2 + beta * p, p)
-                    return xv, r, p, rz2
-
-                if n_cg:
-                    r0 = b - matvec(vals, xv, cst)
-                    z0 = fz.solve(fac, r0, ndc)
-                    st = (xv, r0, z0, jnp.vdot(r0, z0))
-                    xv_cg = jax.lax.fori_loop(0, n_cg, cg_body, st)[0]
-
-                    def q_of(v):
-                        return 0.5 * jnp.vdot(
-                            v, matvec(vals, v, cst)
-                        ) - jnp.vdot(b, v)
-
-                    q_ir, q_cg = q_of(xv), q_of(xv_cg)
-                    take_cg = (
-                        jnp.all(jnp.isfinite(xv_cg))
-                        & jnp.isfinite(q_cg)
-                        & (q_cg <= q_ir)
+                    vals2, gv2, y2, cy2, fy02 = pre(
+                        Pl, basis_l, x, w, c, z_new, t, full_ids
                     )
-                    xv = jnp.where(take_cg, xv_cg, xv)
-                dg = jnp.maximum(jnp.abs(vals[cst["diag_ids"]]), 1e-300)
-                ok = jnp.all(jnp.isfinite(xv))
-                xv = jnp.where(ok, xv, b / dg)
-                dvp = jnp.concatenate(
-                    [
-                        xv.reshape(m, nf).T,
-                        jnp.zeros((nf, 1), xv.dtype),
-                    ],
-                    axis=1,
-                )
-                return dvp
+                    dv2 = direction(vals2, gv2, cst)
+                    return (z_new, lam2, alpha, dphi, gv2, y2, cy2, fy02,
+                            dv2)
 
-            def nd_init(Pl, basis_l, x, w, c, z, t, full_ids, cst):
-                vals, gv, y, cy, fy0 = pre(
-                    Pl, basis_l, x, w, c, z, t, full_ids
-                )
-                return gv, y, cy, fy0, direction(vals, gv, cst)
+                return jax.jit(nd_init), jax.jit(nd_step)
 
-            def nd_step(Pl, basis_l, rloc, x, w, c, z, t, y, cy, fy0,
-                        gv, dvp, full_ids, cst):
-                z_new, lam2, alpha, dphi = post(
-                    Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy, fy0,
-                    gv, dvp,
+            # CG polish trip counts: each iteration costs a full ND solve
+            # + matvec of device time.  Measured at fem2d L=6 (the
+            # smallest L whose fine level routes through ND at default
+            # dense_threshold): substitution factors (CPU) are exact with
+            # NO polish (c_dot_Dz 15.4183231 = ground truth, 141 its,
+            # PCG 0/2/6 identical), and with explicit-inverse factors
+            # (the accelerator path) PCG 0 and 2 give bit-identical
+            # paths (153 its, c 15.4183249) — the polish cannot improve
+            # on the inverse-application error floor, so accelerators
+            # default to 0 (the polish was 3 of the 4 ND solves per
+            # Newton step).  CPU keeps a small safety polish for problem
+            # classes beyond the measured ones; the f32-factor programs
+            # take one extra trip (the polish doubles as iterative
+            # refinement there).
+            n_cg = int(
+                os.environ.get(
+                    "MGB_ND_PCG",
+                    "2" if jax.default_backend() == "cpu" else "0",
                 )
-                vals2, gv2, y2, cy2, fy02 = pre(
-                    Pl, basis_l, x, w, c, z_new, t, full_ids
-                )
-                dv2 = direction(vals2, gv2, cst)
-                return (z_new, lam2, alpha, dphi, gv2, y2, cy2, fy02,
-                        dv2)
-
+            )
+            nd_init, nd_step = make_programs(make_direction(None, n_cg))
             h.update(
-                nd_init=jax.jit(nd_init),
-                nd_step=jax.jit(nd_step),
+                nd_init=nd_init,
+                nd_step=nd_step,
                 nd_full_ids=jnp.asarray(pattern.full_ids),
                 nd_consts=consts,
             )
+            if dtype == jnp.float64:
+                n_cg32 = int(os.environ.get("MGB_ND_PCG32", str(n_cg + 1)))
+                init32, step32 = make_programs(
+                    make_direction(jnp.float32, n_cg32)
+                )
+                h.update(nd_init32=init32, nd_step32=step32)
         return h
 
     def _run_level_nd(self, level: int, z, t, theta2: float):
@@ -946,7 +1006,24 @@ class _SolverCtx:
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
         h = self._get_nd(level)
-        nd_init, nd_step = h["nd_init"], h["nd_step"]
+        # Mixed-precision staging (MGB_ND_F32_TMAX > 0): while t <= tmax
+        # the factor and triangular sweeps run in float32 and the f64 CG
+        # polish recovers direction accuracy.  DEFAULT OFF — measured
+        # unusable on these systems: barrier Hessian leaf separator
+        # blocks are f32-SINGULAR even mid-path (fem2d L=5 t=1e3: min
+        # eigenvalue 8e-9 after symmetric Jacobi equilibration to unit
+        # diagonal, below eps32=1.2e-7; see tools/probe_f32_direction.py),
+        # so the f32 Cholesky NaNs, the direction degrades to the Jacobi
+        # fallback, and the path drifts shallow (fem2d L=6: c_dot_Dz
+        # 15.41854 vs exact 15.41832 with 217 vs 141 its).  This is WHY
+        # the reference runs f64 MUMPS throughout.  Kept behind the env
+        # var with a dynamic escape (any non-converged stop while f32 is
+        # active re-initializes with the f64 programs) for future
+        # problem classes whose Hessians are f32-regular.
+        t32max = float(os.environ.get("MGB_ND_F32_TMAX", "0"))
+        use32 = "nd_step32" in h and float(t) <= t32max
+        nd_init = h["nd_init32"] if use32 else h["nd_init"]
+        nd_step = h["nd_step32"] if use32 else h["nd_step"]
         full_ids = h["nd_full_ids"]
         nd_consts = h["nd_consts"]
         basis = self._bases[level]
@@ -1026,6 +1103,24 @@ class _SolverCtx:
             elif stall_quad or stall_floor or patient:
                 code = self.STALLED
             kg += 1
+            if use32 and code not in (self.RUNNING, self.CONVERGED):
+                # f32-factor leg hit its precision floor (or a genuinely
+                # hard step): hand over to the f64 programs from the
+                # current iterate and keep iterating.
+                use32 = False
+                nd_step = h["nd_step"]
+                gv, y, cy, fy0, dvp = _retry(
+                    h["nd_init"], Pl, basis, self.x, self.w, self.c, z,
+                    t_arr, full_ids, nd_consts,
+                )
+                cyf, fy0f = jax.device_get((cy, fy0))
+                code = self.RUNNING
+                if os.environ.get("MGB_ND_HEARTBEAT"):
+                    print(
+                        f"# newton L{level} f32->f64 handover at it={kg}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
             if code != self.RUNNING:
                 break
             if kg >= self.newton_cap:

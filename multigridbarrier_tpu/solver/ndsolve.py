@@ -267,6 +267,11 @@ class NDSymbolic:
         self.diag_pid = np.searchsorted(
             uniq_keys, np.arange(self.m, dtype=np.int64) * (self.m + 2)
         )
+        # node ids for EVERY unique pair slot (pad node -> m): the f32
+        # factor path needs them to apply symmetric Jacobi equilibration
+        # to the whole vals array before the cast
+        self.pair_i_all = np.minimum(pi, self.m)
+        self.pair_j_all = np.minimum(pj, self.m)
         oi, oj = owner[i_n], owner[j_n]
         t = np.where(depth_of[oi] >= depth_of[oj], oi, oj)
         si = self._slots(t, i_n)
@@ -403,7 +408,11 @@ class NDFactorizer:
         # +10% Newton its at the f64 floor, so CPU keeps substitution;
         # on TPU the solve-count latency dominates and Linv wins.
         if use_inv is None:
-            use_inv = jax.default_backend() != "cpu"
+            env = __import__("os").environ.get("MGB_ND_INV")
+            if env is not None:
+                use_inv = env == "1"
+            else:
+                use_inv = jax.default_backend() != "cpu"
         self.use_inv = bool(use_inv)
         # static grouping of the extend-add by target depth
         self._ea_groups = []
@@ -439,12 +448,22 @@ class NDFactorizer:
             bd_gids=[jnp.asarray(a) for a in sym.bd_gids],
         )
 
-    def factor(self, vals: jnp.ndarray, consts):
+    def factor(self, vals: jnp.ndarray, consts, dtype=None):
         """vals: deduplicated segment array (HostPattern layout:
-        (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)]."""
+        (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)].
+
+        `dtype` overrides the factorization precision: a float32 factor
+        runs the whole batched-dense schedule on the MXU at native rate
+        (f64 on TPU is software-emulated), and the caller recovers f64
+        direction accuracy with factor-preconditioned CG in f64
+        (amgb direction(); classic mixed-precision direct solve, the
+        same recipe MUMPS/cuDSS expose).  Valid while
+        eps32 * cond(H) << 1 — the caller stages by barrier parameter t
+        and escapes to an f64 factor when the f32 leg stops making
+        Newton progress."""
         sym = self.sym
         nf, nuniq = sym.nf, sym.nuniq
-        dtype = self.dtype
+        dtype = self.dtype if dtype is None else dtype
         vb = jnp.transpose(
             vals.reshape(nf, nf, nuniq).astype(dtype), (2, 0, 1)
         )  # (nuniq, nf, nf) pair blocks
@@ -469,7 +488,7 @@ class NDFactorizer:
             ar = jnp.arange(F)
             eye = (ar[:, None] == ar[None, :]).astype(dtype)
             fronts = _interleave(blocks, n_d, Fn[d], nf) + (
-                consts["pad_mask"][d][:, :, None] * eye[None]
+                consts["pad_mask"][d].astype(dtype)[:, :, None] * eye[None]
             )
             Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             if self.use_inv:
@@ -504,7 +523,7 @@ class NDFactorizer:
         (dof = node * nf + field)."""
         sym = self.sym
         maxd = sym.maxd
-        dtype = self.dtype
+        dtype = fac[0][0].dtype  # sweeps run at the factor's precision
         bg = jnp.concatenate([b.astype(dtype), jnp.zeros(1, dtype)])
         ys = []
         for pos, d in enumerate(range(maxd, -1, -1)):
