@@ -141,3 +141,32 @@ def test_end_to_end_forced_nd():
     c_nd = s_nd.SOL_main.c_dot_Dz[-1]
     c_h = s_h.SOL_main.c_dot_Dz[-1]
     assert abs(c_nd - c_h) < 1e-6 * abs(c_h), (c_nd, c_h)
+
+
+def test_f32_staging_escape_keeps_solve_exact():
+    """MGB_ND_F32_TMAX engages the f32-factor programs; on barrier
+    Hessians the f32 Cholesky goes non-finite mid-path (leaf separator
+    blocks are f32-singular, see tools/probe_f32_direction.py) and the
+    dynamic escape must hand over to the f64 programs without changing
+    the converged objective (CLAUDE.md: check final c_dot_Dz, not just
+    convergence flags)."""
+    import os
+
+    b = Backend(dtype=jnp.float64, dense_threshold=256)
+    prev = {
+        k: os.environ.get(k) for k in ("MGB_FINE_SOLVER", "MGB_ND_F32_TMAX")
+    }
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        s64 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+        os.environ["MGB_ND_F32_TMAX"] = "1e9"  # f32 programs at every t
+        s32 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    c64 = s64.SOL_main.c_dot_Dz[-1]
+    c32 = s32.SOL_main.c_dot_Dz[-1]
+    assert abs(c32 - c64) < 1e-6 * abs(c64), (c32, c64)
