@@ -183,11 +183,19 @@ def scatter_table(idx: np.ndarray, m: int, itype=np.int32) -> np.ndarray:
     flat = idx.reshape(-1)
     order = np.argsort(flat, kind="stable")
     sorted_ids = flat[order]
+    # drop PAD slots (node id == m): the pad row is a discard row whose
+    # gathered value is never read, but its slot count used to set the
+    # table width for every real node — Dirichlet bases at fem2d L=7
+    # produced a (16130, 1018) 66MB table (0.5GB at L=8) where the real
+    # width is 6.
+    nreal = int(np.searchsorted(sorted_ids, m))
+    order = order[:nreal]
+    sorted_ids = sorted_ids[:nreal]
     counts = np.bincount(sorted_ids, minlength=m + 1)
-    width = int(counts.max()) if counts.size else 1
+    width = int(counts[:m].max()) if m and nreal else 1
     table = np.full((m + 1, width), nelem * nl, dtype=itype)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    within = np.arange(len(flat)) - starts[sorted_ids]
+    within = np.arange(nreal) - starts[sorted_ids]
     table[sorted_ids, within] = order
     return table
 

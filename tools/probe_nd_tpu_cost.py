@@ -1,0 +1,108 @@
+"""Time the ND factor/solve building blocks on the live backend at a
+given L (default 7): whole factor(), whole solve(), and per-depth
+batched cholesky / triangular-solve / inverse-matmul primitives.
+
+This is the decision probe for replacing XLA's f64 cholesky/trisolve
+(sequential inner loops on TPU) with a custom blocked-recursion inverse
+built from MXU matmuls.
+
+Run on TPU:  python tools/probe_nd_tpu_cost.py [L]
+Run on CPU:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python ...
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import importlib
+
+import multigridbarrier_tpu as mgb
+
+A = importlib.import_module("multigridbarrier_tpu.solver.amgb")
+from multigridbarrier_tpu.solver.ndsolve import (
+    NDFactorizer,
+    NDSymbolic,
+    node_coords,
+)
+
+L = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+
+
+def timed(label, fn, *args, n=3):
+    fn(*args)  # compile
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label:46s} {dt*1e3:9.2f} ms")
+    return dt
+
+
+g = mgb.fem2d(L=L)
+spec = A._normalize_D(A.default_D(2))
+dt_ = g.x.dtype
+c0 = jax.vmap(lambda xi: jnp.asarray(A.default_f(2, dt_)(xi), dt_))(g.x)
+ctx = A._SolverCtx(g, spec, A.default_Q(2, 1.0).barrier, c0)
+level = ctx.levels - 1
+basis = ctx._bases[level]
+m, nf = basis.m, 2
+sym = NDSymbolic(
+    np.asarray(basis.idx), m, nf,
+    node_coords(basis.idx, m, np.asarray(g.x), basis.nq), leaf=16,
+)
+fz = NDFactorizer(sym, use_inv=True)
+cst = fz.consts()
+print(f"L={L} m={m} maxd={sym.maxd} backend={jax.default_backend()}")
+
+# representative vals: assemble identity-dominant SPD system
+rng = np.random.default_rng(0)
+nuniq = sym.nuniq
+vals = rng.standard_normal(nf * nf * nuniq) * 0.01
+diag_ids = (
+    (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :] * nuniq
+    + sym.diag_pid[:, None]
+).reshape(-1)
+vals[diag_ids] = 4.0
+vals_j = jnp.asarray(vals)
+
+factor_j = jax.jit(lambda v, c: fz.factor(v, c))
+fac = factor_j(vals_j, cst)
+b = jnp.asarray(rng.standard_normal(sym.N))
+solve_j = jax.jit(lambda f, b, c: fz.solve(f, b, c))
+
+timed("factor (use_inv)", factor_j, vals_j, cst)
+timed("solve", solve_j, fac, b, cst)
+
+fz_sub = NDFactorizer(sym, use_inv=False)
+factor_s = jax.jit(lambda v, c: fz_sub.factor(v, c))
+fac_s = factor_s(vals_j, cst)
+solve_s = jax.jit(lambda f, b, c: fz_sub.solve(f, b, c))
+timed("factor (substitution)", factor_s, vals_j, cst)
+timed("solve (substitution)", solve_s, fac_s, b, cst)
+
+# per-depth primitive costs
+print("\nper-depth primitives (chol / trisolve-eye / matmul Lsb):")
+for d in range(sym.maxd + 1):
+    n_d = len(sym.by_depth[d])
+    s = sym.s_pad[d] * nf
+    bn = sym.b_pad[d] * nf
+    M = rng.standard_normal((n_d, s, s)) * 0.01
+    M = M @ np.transpose(M, (0, 2, 1)) + 4 * np.eye(s)[None]
+    Mj = jnp.asarray(M)
+    Bj = jnp.asarray(rng.standard_normal((n_d, s, max(bn, 1))))
+    chol = jax.jit(jnp.linalg.cholesky)
+    tri = jax.jit(
+        lambda L_, E: jax.scipy.linalg.solve_triangular(L_, E, lower=True)
+    )
+    mm = jax.jit(lambda A_, B_: A_ @ B_)
+    Ls = chol(Mj)
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=Mj.dtype), Mj.shape)
+    t_c = timed(f"  d={d} ({n_d},{s},{s}) chol", chol, Mj)
+    t_t = timed(f"  d={d} trisolve eye", tri, Ls, eye)
+    t_m = timed(f"  d={d} matmul (s x b={bn})", mm, Ls, Bj)
