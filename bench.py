@@ -32,6 +32,42 @@ def _run_in_subprocess() -> int:
     is retried once on failure."""
     env = dict(os.environ, MGB_BENCH_SUBPROCESS="1")
     timeout_s = float(os.environ.get("MGB_BENCH_TIMEOUT", "5400"))
+    # The axon tunnel can wedge so hard that even creating the PJRT
+    # client blocks forever (observed: >1h).  Probe it with a trivial
+    # op before committing to a full bench attempt; if it stays dead,
+    # fall back to a local-CPU measurement — an honest (slower) number
+    # beats a driver timeout with no number at all.
+    if env.get("PALLAS_AXON_POOL_IPS") and not env.get("MGB_BENCH_NO_PROBE"):
+        for probe in range(3):
+            try:
+                rc = subprocess.run(
+                    [
+                        sys.executable,
+                        "-c",
+                        "import jax.numpy as jnp;"
+                        "print(float(jnp.ones(8).sum()))",
+                    ],
+                    env=env,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    timeout=180,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc == 0:
+                break
+            print(
+                f"# tpu tunnel probe {probe + 1}/3 failed", file=sys.stderr
+            )
+            time.sleep(60)
+        else:
+            print(
+                "# tpu tunnel dead; falling back to local CPU",
+                file=sys.stderr,
+            )
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["MGB_BENCH_PLATFORM_NOTE"] = "cpu-fallback"
     for attempt in range(2):
         try:
             res = subprocess.run(
@@ -117,10 +153,12 @@ def main():
         f"iters {int(sol.SOL_main.its.sum())}",
         file=sys.stderr,
     )
+    note = os.environ.get("MGB_BENCH_PLATFORM_NOTE")
+    tag = f"{dtype_name}, {note}" if note else dtype_name
     print(
         json.dumps(
             {
-                "metric": f"fem2d L={L} p=1 barrier solve wall-time ({dtype_name})",
+                "metric": f"fem2d L={L} p=1 barrier solve wall-time ({tag})",
                 "value": round(elapsed, 4),
                 "unit": "s",
                 "vs_baseline": round(base / elapsed, 3) if base else None,
