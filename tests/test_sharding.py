@@ -45,20 +45,31 @@ def test_fem2d_mgcg_parity_8dev():
 
 
 @needs_8
-def test_fem2d_host_direct_mesh_parity_8dev():
-    """The host sparse-direct fine solver is the DEFAULT on meshed
-    backends (amgb._host_enabled).  dense_threshold is forced low so the
-    two finest levels route to the host solver (at the default 2048
-    every L=4 level would use the on-device dense path), exercising the
-    sharded pre/step device programs + gathered host solve end-to-end.
-    Parity with the single-device run is path-accuracy-limited in z
-    (flat p=1 directions under different reduction orders) but tight in
-    the objective and identical in iteration counts."""
+@pytest.mark.parametrize("fine", ["nd", "host"])
+def test_fem2d_fine_solver_mesh_parity_8dev(fine):
+    """Mesh parity for both direct fine solvers: 'nd' (the DEFAULT:
+    on-device multifrontal Cholesky under GSPMD) and 'host' (sharded
+    pre/step device programs + gathered host SuperLU solve).
+    dense_threshold is forced low so the two finest levels route to the
+    fine solver (at the default 2048 every L=4 level would use the
+    on-device dense path).  Parity with the single-device run is
+    path-accuracy-limited in z (flat p=1 directions under different
+    reduction orders) but tight in the objective and iteration counts."""
+    import os
+
     mesh = make_mesh(8)
-    b1 = Backend(dtype=jnp.float64, dense_threshold=256)
-    sol1 = mgb.amgb(mgb.fem2d(L=4, backend=b1), p=1.0)
-    b8 = Backend(dtype=jnp.float64, dense_threshold=256, mesh=mesh)
-    sol8 = mgb.amgb(mgb.fem2d(L=4, backend=b8), p=1.0)
+    prev = os.environ.get("MGB_FINE_SOLVER")
+    try:
+        os.environ["MGB_FINE_SOLVER"] = fine
+        b1 = Backend(dtype=jnp.float64, dense_threshold=256)
+        sol1 = mgb.amgb(mgb.fem2d(L=4, backend=b1), p=1.0)
+        b8 = Backend(dtype=jnp.float64, dense_threshold=256, mesh=mesh)
+        sol8 = mgb.amgb(mgb.fem2d(L=4, backend=b8), p=1.0)
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_FINE_SOLVER", None)
+        else:
+            os.environ["MGB_FINE_SOLVER"] = prev
     # sharded segment-sum reduction order perturbs the nnz values in the
     # last bits, which can shift floor-adjacent stop decisions by a few
     # Newton iterations — the objective is the invariant, not the path
