@@ -287,14 +287,15 @@ class NDSymbolic:
                 (k[sel] * Fn[d] + si[sel]) * Fn[d] + sj[sel]
             )
 
-        # -- pad identity as per-dof diagonal masks ((n_d, F) 0/1; the
-        # dense (n_d, F, F) eye form was ~360MB of literal constants at
-        # L=7 and overflowed the remote compile service's request limit)
-        self.pad_mask: List[np.ndarray] = []
+        # -- pad identity as pair-block destinations: pad slot s of front
+        # k contributes an eye(nf) block at pair (s, s).  Riding these
+        # through the same combined segment_sum as assembly/extend-add
+        # avoids a separate (n_d, F, F) masked-eye add per depth (whose
+        # dense constant form was also ~360MB at L=7 and overflowed the
+        # remote compile service's request limit).
+        self.pad_ids: List[np.ndarray] = []
         for d in range(maxd + 1):
-            n_d = len(self.by_depth[d])
-            F = Fn[d] * nf
-            msk = np.zeros((n_d, F))
+            ids = []
             for kk, i in enumerate(self.by_depth[d]):
                 f = self.fronts[i]
                 pads = list(range(len(f.sep), self.s_pad[d])) + [
@@ -302,8 +303,8 @@ class NDSymbolic:
                     for b in range(len(f.bd), self.b_pad[d])
                 ]
                 for s in pads:
-                    msk[kk, s * nf : s * nf + nf] = 1.0
-            self.pad_mask.append(msk)
+                    ids.append((kk * Fn[d] + s) * Fn[d] + s)
+            self.pad_ids.append(np.asarray(ids, np.int64))
 
         # -- extend-add: Schur pair (front i, a, b) -> deeper-owner front --
         self.ea_src: List[np.ndarray] = []
@@ -342,6 +343,34 @@ class NDSymbolic:
                 self.ea_src.append(np.empty(0, np.int64))
                 self.ea_dst.append(np.empty(0, np.int64))
                 self.ea_tgt.append(np.empty(0, np.int64))
+
+        # -- flat Schur-buffer layout + extend-add regrouped by TARGET --
+        # Children write their (Bn x Bn) Schur pair-blocks once into a
+        # single flat buffer (static per-depth offsets); each ancestor
+        # depth then GATHERS its contributions inside the one combined
+        # assembly segment_sum.  This replaces the old per-(source,
+        # target)-depth scatter+add chain — ~maxd^2/2 segment_sums and
+        # adds per factorization — with exactly one scatter per depth.
+        self.sb_off = np.zeros(maxd + 2, np.int64)
+        for d in range(maxd + 1):
+            n_d = len(self.by_depth[d])
+            self.sb_off[d + 1] = (
+                self.sb_off[d] + n_d * self.b_pad[d] * self.b_pad[d]
+            )
+        tsrc: List[List[np.ndarray]] = [[] for _ in range(maxd + 1)]
+        tdst: List[List[np.ndarray]] = [[] for _ in range(maxd + 1)]
+        for d in range(maxd + 1):
+            tgt = self.ea_tgt[d]
+            for td in np.unique(tgt):
+                sel = tgt == td
+                tsrc[int(td)].append(self.sb_off[d] + self.ea_src[d][sel])
+                tdst[int(td)].append(self.ea_dst[d][sel])
+        self.ea_tsrc = [
+            np.concatenate(s) if s else np.empty(0, np.int64) for s in tsrc
+        ]
+        self.ea_tdst = [
+            np.concatenate(s) if s else np.empty(0, np.int64) for s in tdst
+        ]
 
     def _build_solve_maps(self):
         nf = self.nf
@@ -414,36 +443,26 @@ class NDFactorizer:
             else:
                 use_inv = jax.default_backend() != "cpu"
         self.use_inv = bool(use_inv)
-        # static grouping of the extend-add by target depth
-        self._ea_groups = []
-        for d in range(sym.maxd + 1):
-            tgt = sym.ea_tgt[d]
-            self._ea_groups.append(
-                [int(td) for td in np.unique(tgt)]
-            )
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
-        solve as an argument; build once per level and reuse)."""
+        solve as an argument; build once per level and reuse).
+
+        asm_dst is the PRE-CONCATENATED destination array for the one
+        combined per-depth segment_sum: assembly pairs, then extend-add
+        gathers from the flat Schur buffer, then pad-identity blocks."""
         sym = self.sym
-        ea = []
-        for d in range(sym.maxd + 1):
-            tgt = sym.ea_tgt[d]
-            groups = {}
-            for td in self._ea_groups[d]:
-                sel = np.nonzero(tgt == td)[0]
-                groups[td] = (
-                    jnp.asarray(sym.ea_src[d][sel]),
-                    jnp.asarray(sym.ea_dst[d][sel]),
-                )
-            ea.append(groups)
         return dict(
             asm_pid=[jnp.asarray(a) for a in sym.asm_pid],
-            asm_dst=[jnp.asarray(a) for a in sym.asm_dst],
-            pad_mask=[
-                jnp.asarray(a, self.dtype) for a in sym.pad_mask
+            asm_dst=[
+                jnp.asarray(
+                    np.concatenate(
+                        [sym.asm_dst[d], sym.ea_tdst[d], sym.pad_ids[d]]
+                    )
+                )
+                for d in range(sym.maxd + 1)
             ],
-            ea=ea,
+            ea_tsrc=[jnp.asarray(a) for a in sym.ea_tsrc],
             sep_gids=[jnp.asarray(a) for a in sym.sep_gids],
             bd_gids=[jnp.asarray(a) for a in sym.bd_gids],
         )
@@ -468,33 +487,40 @@ class NDFactorizer:
             vals.reshape(nf, nf, nuniq).astype(dtype), (2, 0, 1)
         )  # (nuniq, nf, nf) pair blocks
         Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.maxd + 1)]
-        pend = [
-            jnp.zeros(
-                (len(sym.by_depth[d]) * Fn[d] * Fn[d], nf, nf), dtype
-            )
-            for d in range(sym.maxd + 1)
-        ]
+        eye_nf = jnp.eye(nf, dtype=dtype)
+        # children's Schur pair-blocks, written once per depth at a
+        # static offset and gathered by ancestor assemblies
+        sb_flat = jnp.zeros((int(sym.sb_off[-1]), nf, nf), dtype)
         out = []
         for d in range(sym.maxd, -1, -1):
             n_d = len(sym.by_depth[d])
-            F = Fn[d] * nf
             s = sym.s_pad[d] * nf
+            # ONE segment_sum assembles everything this depth needs:
+            # deduplicated matrix pair-blocks + child Schur contributions
+            # + pad-slot identity blocks (consts['asm_dst'] is their
+            # pre-concatenated destination array).
+            data = vb[consts["asm_pid"][d]]
+            npad = len(sym.pad_ids[d])
+            parts = [data]
+            if consts["ea_tsrc"][d].shape[0]:
+                parts.append(sb_flat[consts["ea_tsrc"][d]])
+            if npad:
+                parts.append(
+                    jnp.broadcast_to(eye_nf, (npad, nf, nf))
+                )
             blocks = jax.ops.segment_sum(
-                vb[consts["asm_pid"][d]],
+                jnp.concatenate(parts) if len(parts) > 1 else parts[0],
                 consts["asm_dst"][d],
                 num_segments=n_d * Fn[d] * Fn[d],
-            ) + pend[d]
-            # pad-dof identity via an iota eye (no materialized constant)
-            ar = jnp.arange(F)
-            eye = (ar[:, None] == ar[None, :]).astype(dtype)
-            fronts = _interleave(blocks, n_d, Fn[d], nf) + (
-                consts["pad_mask"][d].astype(dtype)[:, :, None] * eye[None]
             )
+            fronts = _interleave(blocks, n_d, Fn[d], nf)
             Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             if self.use_inv:
+                ar = jnp.arange(s)
+                eye = (ar[:, None] == ar[None, :]).astype(dtype)
                 Lk = jax.scipy.linalg.solve_triangular(
                     Ls,
-                    eye[None, :s, :s] * jnp.ones((n_d, 1, 1), dtype),
+                    eye[None] * jnp.ones((n_d, 1, 1), dtype),
                     lower=True,
                 )
                 Lsb = Lk @ fronts[:, :s, s:]
@@ -509,13 +535,9 @@ class NDFactorizer:
                     "kab,kac->kbc", Lsb, Lsb
                 )
                 sb = _deinterleave(schur, n_d, sym.b_pad[d], nf)
-                for td in self._ea_groups[d]:
-                    src, dst = consts["ea"][d][td]
-                    pend[td] = pend[td] + jax.ops.segment_sum(
-                        sb[src],
-                        dst,
-                        num_segments=pend[td].shape[0],
-                    )
+                sb_flat = jax.lax.dynamic_update_slice(
+                    sb_flat, sb, (int(sym.sb_off[d]), 0, 0)
+                )
         return out
 
     def solve(self, fac, b: jnp.ndarray, consts):

@@ -67,11 +67,15 @@ def _grid_problem(G, nf, pad, seed=0):
     return idx, coords, vals, Ad
 
 
-@pytest.mark.parametrize("nf,pad", [(1, False), (2, True)])
-def test_factor_solve_exact_on_grid(nf, pad):
+@pytest.mark.parametrize(
+    "nf,pad,leaf,use_inv",
+    [(1, False, 4, False), (2, True, 4, False), (2, True, 4, True),
+     (2, True, 16, True)],
+)
+def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv):
     idx, coords, vals, Ad = _grid_problem(6, nf, pad)
-    sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=4)
-    fz = NDFactorizer(sym)
+    sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=leaf)
+    fz = NDFactorizer(sym, use_inv=use_inv)
     cst = fz.consts()
     fac = fz.factor(jnp.asarray(vals), cst)
     for Ls, Lsb in fac:
