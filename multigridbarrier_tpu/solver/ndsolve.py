@@ -400,6 +400,60 @@ class NDSymbolic:
 # ---------------------------------------------------------------------------
 
 
+def _tri_inv_blocked(Ls, base: int = 32):
+    """Explicit inverse of batched lower-triangular (n_d, s, s) matrices
+    by block doubling: invert base-size diagonal blocks once (one small
+    batched substitution), then combine upward with batched matmuls —
+    inv([[A,0],[C,B]]) = [[Ai,0],[-Bi C Ai, Bi]].  The dominant work is
+    MXU matmuls of shape (n_d*nb, b, b) instead of XLA's sequential
+    per-panel triangular substitution (slow on TPU, worse under f64
+    emulation).  ~6 ops per doubling level, log2(s/base) levels.
+
+    Pads s up to a power-of-two multiple of base with an identity
+    diagonal (the padded inverse restricts to the true inverse)."""
+    n_d, s, _ = Ls.shape
+    dtype = Ls.dtype
+    nb0 = max(1, -(-s // base))
+    nb = 1 << (nb0 - 1).bit_length()  # next power of two
+    S = nb * base
+    if S != s:
+        ar = jnp.arange(S)
+        eyeS = (ar[:, None] == ar[None, :]).astype(dtype)
+        Lp = jnp.zeros((n_d, S, S), dtype) + eyeS[None]
+        Lp = Lp.at[:, :s, :s].set(Ls)
+    else:
+        Lp = Ls
+    # invert the base diagonal blocks (batched small substitution)
+    ar_b = jnp.arange(base)
+    eye_b = (ar_b[:, None] == ar_b[None, :]).astype(dtype)
+    idx = jnp.arange(nb)
+    Db = Lp.reshape(n_d, nb, base, nb, base)[:, idx, :, idx, :]
+    # advanced indexing puts the paired axis first: (nb, n_d, base, base)
+    Db = jnp.swapaxes(Db, 0, 1).reshape(n_d * nb, base, base)
+    Dbi = jax.scipy.linalg.solve_triangular(
+        Db, eye_b[None] * jnp.ones((n_d * nb, 1, 1), dtype), lower=True
+    ).reshape(n_d, nb, base, base)
+    Minv = jnp.zeros((n_d, nb, base, nb, base), dtype)
+    Minv = Minv.at[:, idx, :, idx, :].set(jnp.swapaxes(Dbi, 0, 1))
+    Minv = Minv.reshape(n_d, S, S)
+    b = base
+    while b < S:
+        nb2 = S // (2 * b)
+        ev = jnp.arange(nb2) * 2
+        od = ev + 1
+        Mb = Minv.reshape(n_d, S // b, b, S // b, b)
+        Lb = Lp.reshape(n_d, S // b, b, S // b, b)
+        Ai = jnp.swapaxes(Mb[:, ev, :, ev, :], 0, 1)  # (n_d, nb2, b, b)
+        Bi = jnp.swapaxes(Mb[:, od, :, od, :], 0, 1)
+        C = jnp.swapaxes(Lb[:, od, :, ev, :], 0, 1)
+        X = -jnp.einsum("kpab,kpbc->kpac", Bi, C)
+        X = jnp.einsum("kpab,kpbc->kpac", X, Ai)
+        Mb = Mb.at[:, od, :, ev, :].set(jnp.swapaxes(X, 0, 1))
+        Minv = Mb.reshape(n_d, S, S)
+        b *= 2
+    return Minv[:, :s, :s]
+
+
 def _interleave(blocks, n_d, Fn, nf):
     """(n_d*Fn*Fn, nf, nf) pair-blocks -> (n_d, Fn*nf, Fn*nf) dense."""
     M = blocks.reshape(n_d, Fn, Fn, nf, nf)
@@ -443,6 +497,12 @@ class NDFactorizer:
             else:
                 use_inv = jax.default_backend() != "cpu"
         self.use_inv = bool(use_inv)
+        # Explicit-inverse construction: 'xla' = solve_triangular vs
+        # identity (sequential panel substitution); 'blocked' = block-
+        # doubling matmul inverse (_tri_inv_blocked; MXU-dominant).
+        self.tri_inv = __import__("os").environ.get(
+            "MGB_ND_TRIINV", "blocked"
+        )
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -516,13 +576,16 @@ class NDFactorizer:
             fronts = _interleave(blocks, n_d, Fn[d], nf)
             Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             if self.use_inv:
-                ar = jnp.arange(s)
-                eye = (ar[:, None] == ar[None, :]).astype(dtype)
-                Lk = jax.scipy.linalg.solve_triangular(
-                    Ls,
-                    eye[None] * jnp.ones((n_d, 1, 1), dtype),
-                    lower=True,
-                )
+                if self.tri_inv == "blocked" and s > 32:
+                    Lk = _tri_inv_blocked(Ls)
+                else:
+                    ar = jnp.arange(s)
+                    eye = (ar[:, None] == ar[None, :]).astype(dtype)
+                    Lk = jax.scipy.linalg.solve_triangular(
+                        Ls,
+                        eye[None] * jnp.ones((n_d, 1, 1), dtype),
+                        lower=True,
+                    )
                 Lsb = Lk @ fronts[:, :s, s:]
             else:
                 Lk = Ls

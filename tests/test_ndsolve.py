@@ -174,3 +174,18 @@ def test_f32_staging_escape_keeps_solve_exact():
     c64 = s64.SOL_main.c_dot_Dz[-1]
     c32 = s32.SOL_main.c_dot_Dz[-1]
     assert abs(c32 - c64) < 1e-6 * abs(c64), (c32, c64)
+
+
+def test_tri_inv_blocked_matches_solve():
+    """Block-doubling explicit triangular inverse == substitution inverse
+    (non-power-of-two sizes exercise the identity padding)."""
+    from multigridbarrier_tpu.solver.ndsolve import _tri_inv_blocked
+
+    rng = np.random.default_rng(3)
+    for n_d, s in [(4, 33), (2, 64), (1, 130)]:
+        B = rng.standard_normal((n_d, s, s))
+        A = B @ np.transpose(B, (0, 2, 1)) + s * np.eye(s)[None]
+        Ls = np.linalg.cholesky(A)
+        Li = np.asarray(_tri_inv_blocked(jnp.asarray(Ls)))
+        err = np.linalg.norm(Li @ Ls - np.eye(s)[None], axis=(1, 2))
+        assert err.max() < 1e-11, (s, err.max())
