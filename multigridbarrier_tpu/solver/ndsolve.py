@@ -373,10 +373,19 @@ class NDSymbolic:
         ]
 
     def _build_solve_maps(self):
+        """Gather/scatter dof maps for the two triangular sweeps.
+
+        Pad slots use SEPARATE read and write sinks: gathers read slot N
+        (never written, stays zero) while scatters write slot N+1 (never
+        read) — so no per-depth pad-reset scatter is needed in the
+        sweeps (each `.at[-1].set(0.0)` was one more serialized TPU
+        scatter per depth)."""
         nf = self.nf
         maxd = self.maxd
         self.sep_gids: List[np.ndarray] = []
         self.bd_gids: List[np.ndarray] = []
+        self.sep_gids_w: List[np.ndarray] = []
+        self.bd_gids_w: List[np.ndarray] = []
         N = self.m * nf
         self.N = N
         for d in range(maxd + 1):
@@ -393,6 +402,8 @@ class NDSymbolic:
                     bg[k, : len(g)] = g
             self.sep_gids.append(sg)
             self.bd_gids.append(bg)
+            self.sep_gids_w.append(np.where(sg == N, N + 1, sg))
+            self.bd_gids_w.append(np.where(bg == N, N + 1, bg))
 
 
 # ---------------------------------------------------------------------------
@@ -417,10 +428,13 @@ def _tri_inv_blocked(Ls, base: int = 32):
     nb = 1 << (nb0 - 1).bit_length()  # next power of two
     S = nb * base
     if S != s:
+        # identity on the pad diagonal via pad + masked-eye add (an
+        # .at[:s,:s].set would lower to a scatter — slow on TPU)
         ar = jnp.arange(S)
-        eyeS = (ar[:, None] == ar[None, :]).astype(dtype)
-        Lp = jnp.zeros((n_d, S, S), dtype) + eyeS[None]
-        Lp = Lp.at[:, :s, :s].set(Ls)
+        eye_pad = (
+            (ar[:, None] == ar[None, :]) & (ar[:, None] >= s)
+        ).astype(dtype)
+        Lp = jnp.pad(Ls, ((0, 0), (0, S - s), (0, S - s))) + eye_pad[None]
     else:
         Lp = Ls
     # invert the base diagonal blocks (batched small substitution)
@@ -430,28 +444,28 @@ def _tri_inv_blocked(Ls, base: int = 32):
     Db = Lp.reshape(n_d, nb, base, nb, base)[:, idx, :, idx, :]
     # advanced indexing puts the paired axis first: (nb, n_d, base, base)
     Db = jnp.swapaxes(Db, 0, 1).reshape(n_d * nb, base, base)
-    Dbi = jax.scipy.linalg.solve_triangular(
+    blocks = jax.scipy.linalg.solve_triangular(
         Db, eye_b[None] * jnp.ones((n_d * nb, 1, 1), dtype), lower=True
     ).reshape(n_d, nb, base, base)
-    Minv = jnp.zeros((n_d, nb, base, nb, base), dtype)
-    Minv = Minv.at[:, idx, :, idx, :].set(jnp.swapaxes(Dbi, 0, 1))
-    Minv = Minv.reshape(n_d, S, S)
+    # block doubling, scatter-free: the inverse is carried as the batch
+    # of diagonal blocks (n_d, nb, b, b) and each level assembles the
+    # doubled blocks [[Ai,0],[X,Bi]] with concatenations.
     b = base
     while b < S:
         nb2 = S // (2 * b)
-        ev = jnp.arange(nb2) * 2
-        od = ev + 1
-        Mb = Minv.reshape(n_d, S // b, b, S // b, b)
-        Lb = Lp.reshape(n_d, S // b, b, S // b, b)
-        Ai = jnp.swapaxes(Mb[:, ev, :, ev, :], 0, 1)  # (n_d, nb2, b, b)
-        Bi = jnp.swapaxes(Mb[:, od, :, od, :], 0, 1)
-        C = jnp.swapaxes(Lb[:, od, :, ev, :], 0, 1)
-        X = -jnp.einsum("kpab,kpbc->kpac", Bi, C)
-        X = jnp.einsum("kpab,kpbc->kpac", X, Ai)
-        Mb = Mb.at[:, od, :, ev, :].set(jnp.swapaxes(X, 0, 1))
-        Minv = Mb.reshape(n_d, S, S)
+        i2 = jnp.arange(nb2)
+        Lv = Lp.reshape(n_d, nb2, 2, b, nb2, 2, b)
+        C = jnp.swapaxes(Lv[:, i2, 1, :, i2, 0, :], 0, 1)  # (n_d,nb2,b,b)
+        Ai = blocks[:, 0::2]
+        Bi = blocks[:, 1::2]
+        X = -jnp.einsum(
+            "kpab,kpbc->kpac", Bi, jnp.einsum("kpab,kpbc->kpac", C, Ai)
+        )
+        top = jnp.concatenate([Ai, jnp.zeros_like(X)], axis=-1)
+        bot = jnp.concatenate([X, Bi], axis=-1)
+        blocks = jnp.concatenate([top, bot], axis=-2)
         b *= 2
-    return Minv[:, :s, :s]
+    return blocks[:, 0, :s, :s]
 
 
 def _interleave(blocks, n_d, Fn, nf):
@@ -525,6 +539,8 @@ class NDFactorizer:
             ea_tsrc=[jnp.asarray(a) for a in sym.ea_tsrc],
             sep_gids=[jnp.asarray(a) for a in sym.sep_gids],
             bd_gids=[jnp.asarray(a) for a in sym.bd_gids],
+            sep_gids_w=[jnp.asarray(a) for a in sym.sep_gids_w],
+            bd_gids_w=[jnp.asarray(a) for a in sym.bd_gids_w],
         )
 
     def factor(self, vals: jnp.ndarray, consts, dtype=None):
@@ -609,7 +625,9 @@ class NDFactorizer:
         sym = self.sym
         maxd = sym.maxd
         dtype = fac[0][0].dtype  # sweeps run at the factor's precision
-        bg = jnp.concatenate([b.astype(dtype), jnp.zeros(1, dtype)])
+        # slot N is the read-only pad sink (always zero); slot N+1 is the
+        # write-only pad sink (garbage, never read) — see _build_solve_maps
+        bg = jnp.concatenate([b.astype(dtype), jnp.zeros(2, dtype)])
         ys = []
         for pos, d in enumerate(range(maxd, -1, -1)):
             Lk, Lsb = fac[pos]
@@ -623,11 +641,10 @@ class NDFactorizer:
             ys.append(yS)
             if Lsb.shape[2]:
                 upd = -jnp.einsum("kab,ka->kb", Lsb, yS)
-                bg = bg.at[consts["bd_gids"][d].reshape(-1)].add(
+                bg = bg.at[consts["bd_gids_w"][d].reshape(-1)].add(
                     upd.reshape(-1)
                 )
-                bg = bg.at[-1].set(0.0)
-        xg = jnp.zeros(sym.N + 1, dtype)
+        xg = jnp.zeros(sym.N + 2, dtype)
         for pos in range(len(fac) - 1, -1, -1):
             d = maxd - pos
             Lk, Lsb = fac[pos]
@@ -641,10 +658,9 @@ class NDFactorizer:
                 xS = jax.scipy.linalg.solve_triangular(
                     Lk, yS[:, :, None], lower=True, trans=1
                 )[:, :, 0]
-            xg = xg.at[consts["sep_gids"][d].reshape(-1)].set(
+            xg = xg.at[consts["sep_gids_w"][d].reshape(-1)].set(
                 xS.reshape(-1)
             )
-            xg = xg.at[-1].set(0.0)
         return xg[: sym.N]
 
 
