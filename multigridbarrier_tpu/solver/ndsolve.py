@@ -468,6 +468,45 @@ def _tri_inv_blocked(Ls, base: int = 32):
     return blocks[:, 0, :s, :s]
 
 
+def _chol_blocked(Af, base: int = 32):
+    """Batched Cholesky of (n_d, s, s) SPD matrices by right-looking
+    panel factorization: per panel one small batched Cholesky + one
+    small batched substitution + two batched matmuls (MXU-dominant,
+    scatter-free — column panels accumulate in a list and concatenate).
+    Alternative to XLA's CholeskyExpander While-loop lowering; A/B via
+    MGB_ND_CHOL=blocked|xla."""
+    n_d, s, _ = Af.shape
+    dtype = Af.dtype
+    nb = max(1, -(-s // base))
+    S = nb * base
+    if S != s:
+        ar = jnp.arange(S)
+        eye_pad = (
+            (ar[:, None] == ar[None, :]) & (ar[:, None] >= s)
+        ).astype(dtype)
+        X = jnp.pad(Af, ((0, 0), (0, S - s), (0, S - s))) + eye_pad[None]
+    else:
+        X = Af
+    ar_b = jnp.arange(base)
+    eye_b = (ar_b[:, None] == ar_b[None, :]).astype(dtype)
+    cols = []
+    for j in range(nb):
+        Ajj = X[:, :base, :base]
+        Ljj = jnp.linalg.cholesky(Ajj)
+        parts = [jnp.zeros((n_d, j * base, base), dtype), Ljj]
+        if nb - j > 1:
+            Linv = jax.scipy.linalg.solve_triangular(
+                Ljj, eye_b[None] * jnp.ones((n_d, 1, 1), dtype), lower=True
+            )
+            R = X[:, base:, :base]
+            Lj = jnp.einsum("krb,kcb->krc", R, Linv)
+            parts.append(Lj)
+            X = X[:, base:, base:] - jnp.einsum("kra,kca->krc", Lj, Lj)
+        cols.append(jnp.concatenate(parts, axis=1))
+    L = jnp.concatenate(cols, axis=2)
+    return L[:, :s, :s]
+
+
 def _interleave(blocks, n_d, Fn, nf):
     """(n_d*Fn*Fn, nf, nf) pair-blocks -> (n_d, Fn*nf, Fn*nf) dense."""
     M = blocks.reshape(n_d, Fn, Fn, nf, nf)
@@ -514,9 +553,9 @@ class NDFactorizer:
         # Explicit-inverse construction: 'xla' = solve_triangular vs
         # identity (sequential panel substitution); 'blocked' = block-
         # doubling matmul inverse (_tri_inv_blocked; MXU-dominant).
-        self.tri_inv = __import__("os").environ.get(
-            "MGB_ND_TRIINV", "blocked"
-        )
+        _env = __import__("os").environ
+        self.tri_inv = _env.get("MGB_ND_TRIINV", "blocked")
+        self.chol = _env.get("MGB_ND_CHOL", "xla")
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -590,7 +629,10 @@ class NDFactorizer:
                 num_segments=n_d * Fn[d] * Fn[d],
             )
             fronts = _interleave(blocks, n_d, Fn[d], nf)
-            Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
+            if self.chol == "blocked" and s > 32:
+                Ls = _chol_blocked(fronts[:, :s, :s])
+            else:
+                Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             if self.use_inv:
                 if self.tri_inv == "blocked" and s > 32:
                     Lk = _tri_inv_blocked(Ls)

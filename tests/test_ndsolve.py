@@ -189,3 +189,19 @@ def test_tri_inv_blocked_matches_solve():
         Li = np.asarray(_tri_inv_blocked(jnp.asarray(Ls)))
         err = np.linalg.norm(Li @ Ls - np.eye(s)[None], axis=(1, 2))
         assert err.max() < 1e-11, (s, err.max())
+
+
+def test_chol_blocked_matches_xla():
+    """Panel-blocked batched Cholesky == jnp.linalg.cholesky."""
+    from multigridbarrier_tpu.solver.ndsolve import _chol_blocked
+
+    rng = np.random.default_rng(5)
+    for n_d, s in [(3, 40), (2, 96), (1, 130)]:
+        B = rng.standard_normal((n_d, s, s))
+        A = B @ np.transpose(B, (0, 2, 1)) + s * np.eye(s)[None]
+        L_ref = np.linalg.cholesky(A)
+        L_b = np.asarray(_chol_blocked(jnp.asarray(A)))
+        rel = np.linalg.norm(L_b - L_ref, axis=(1, 2)) / np.linalg.norm(
+            L_ref, axis=(1, 2)
+        )
+        assert rel.max() < 1e-13, (s, rel.max())
