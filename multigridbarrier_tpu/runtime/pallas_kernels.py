@@ -94,10 +94,43 @@ def assemble_he_pallas(P, Y2w_e, block_e: int = 32, interpret: bool = False):
     return out[:, :C_out, :C_out]
 
 
+_PROBE_OK = None
+
+
+def _probe_compiles() -> bool:
+    """One-shot compile probe: Mosaic kernels go through the remote
+    compile service on the axon tunnel, which has failed independently
+    of XLA compiles — a production default must degrade to the XLA
+    einsum path instead of taking the solve down."""
+    global _PROBE_OK
+    if _PROBE_OK is None:
+        try:
+            P = jnp.zeros((2, 4, 3, 6), jnp.float32)
+            W = jnp.zeros((2, 4, 3, 3), jnp.float32)
+            jax.block_until_ready(assemble_he_pallas(P, W))
+            _PROBE_OK = True
+        except Exception as e:  # pragma: no cover - tunnel-dependent
+            import sys
+
+            print(
+                f"# pallas probe failed ({type(e).__name__}); "
+                "falling back to XLA einsum assembly",
+                file=sys.stderr,
+            )
+            _PROBE_OK = False
+    return _PROBE_OK
+
+
 def pallas_enabled(dtype) -> bool:
-    """Pallas path policy: opt-in, f32 only, TPU backend."""
-    if os.environ.get("MGB_PALLAS", "") != "1":
+    """Pallas assembly policy: DEFAULT ON for float32 on a real TPU
+    backend (opt out with MGB_PALLAS=0; force with MGB_PALLAS=1), with
+    a compile-probe fallback to the XLA einsums.  f64 stays on XLA —
+    Mosaic has no f64."""
+    env = os.environ.get("MGB_PALLAS", "")
+    if env == "0":
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    return _probe_compiles() if env != "1" else True

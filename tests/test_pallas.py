@@ -28,14 +28,19 @@ def test_assemble_he_pallas_matches_einsum(nelem, nq, k, C):
 def test_pallas_policy():
     from multigridbarrier_tpu.runtime.pallas_kernels import pallas_enabled
 
-    # opt-in only: without MGB_PALLAS the policy is off regardless of dtype
+    # default ON for f32 on a real TPU (with compile-probe fallback);
+    # always off for f64 (Mosaic has no f64) and off-TPU backends; this
+    # CPU test can only pin the off-TPU and opt-out branches.
     import os
 
     old = os.environ.pop("MGB_PALLAS", None)
     try:
-        assert not pallas_enabled(jnp.float32)
+        assert not pallas_enabled(jnp.float32)  # cpu backend
         os.environ["MGB_PALLAS"] = "1"
         assert not pallas_enabled(jnp.float64)  # f64 unsupported by Mosaic
+        assert not pallas_enabled(jnp.float32)  # still cpu backend
+        os.environ["MGB_PALLAS"] = "0"
+        assert not pallas_enabled(jnp.float32)  # explicit opt-out
     finally:
         if old is None:
             os.environ.pop("MGB_PALLAS", None)
