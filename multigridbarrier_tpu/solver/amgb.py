@@ -810,15 +810,21 @@ class _SolverCtx:
             # constants: literal constants are serialized into the HLO
             # and the axon remote compile service rejects the resulting
             # multi-hundred-MB request with HTTP 413 (seen at L=7).
+            def _idx(a):
+                a = np.asarray(a)
+                if a.size == 0 or a.max() < np.iinfo(np.int32).max:
+                    a = a.astype(np.int32)
+                return jnp.asarray(a)
+
             consts = dict(
                 nd=fz.consts(),
-                pair_i=jnp.asarray(sym.pair_i),
-                pair_j=jnp.asarray(sym.pair_j),
-                pair_pid=jnp.asarray(sym.pair_pid),
-                pair_ia=jnp.asarray(sym.pair_i_all),
-                pair_ja=jnp.asarray(sym.pair_j_all),
+                pair_i=_idx(sym.pair_i),
+                pair_j=_idx(sym.pair_j),
+                pair_pid=_idx(sym.pair_pid),
+                pair_ia=_idx(sym.pair_i_all),
+                pair_ja=_idx(sym.pair_j_all),
                 # node-major per-dof diagonal ids: vals[(f*nf+f)*nuniq+d]
-                diag_ids=jnp.asarray(
+                diag_ids=_idx(
                     (
                         (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :]
                         * nuniq

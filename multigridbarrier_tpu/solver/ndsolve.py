@@ -563,23 +563,33 @@ class NDFactorizer:
 
         asm_dst is the PRE-CONCATENATED destination array for the one
         combined per-depth segment_sum: assembly pairs, then extend-add
-        gathers from the flat Schur buffer, then pad-identity blocks."""
+        gathers from the flat Schur buffer, then pad-identity blocks.
+        Maps are narrowed to int32 when they fit — TPU gathers/scatters
+        on int64 indices cost extra and the maps are tens of MB at
+        L>=7."""
         sym = self.sym
+
+        def idx(a):
+            a = np.asarray(a)
+            if a.size == 0 or a.max() < np.iinfo(np.int32).max:
+                a = a.astype(np.int32)
+            return jnp.asarray(a)
+
         return dict(
-            asm_pid=[jnp.asarray(a) for a in sym.asm_pid],
+            asm_pid=[idx(a) for a in sym.asm_pid],
             asm_dst=[
-                jnp.asarray(
+                idx(
                     np.concatenate(
                         [sym.asm_dst[d], sym.ea_tdst[d], sym.pad_ids[d]]
                     )
                 )
                 for d in range(sym.maxd + 1)
             ],
-            ea_tsrc=[jnp.asarray(a) for a in sym.ea_tsrc],
-            sep_gids=[jnp.asarray(a) for a in sym.sep_gids],
-            bd_gids=[jnp.asarray(a) for a in sym.bd_gids],
-            sep_gids_w=[jnp.asarray(a) for a in sym.sep_gids_w],
-            bd_gids_w=[jnp.asarray(a) for a in sym.bd_gids_w],
+            ea_tsrc=[idx(a) for a in sym.ea_tsrc],
+            sep_gids=[idx(a) for a in sym.sep_gids],
+            bd_gids=[idx(a) for a in sym.bd_gids],
+            sep_gids_w=[idx(a) for a in sym.sep_gids_w],
+            bd_gids_w=[idx(a) for a in sym.bd_gids_w],
         )
 
     def factor(self, vals: jnp.ndarray, consts, dtype=None):
