@@ -106,12 +106,16 @@ solve_j = jax.jit(lambda f, b, c: fz.solve(f, b, c))
 timed("factor (use_inv)", factor_j, vals_j, cst)
 timed("solve", solve_j, fac, b, cst)
 
-fz_sub = NDFactorizer(sym, use_inv=False)
-factor_s = jax.jit(lambda v, c: fz_sub.factor(v, c))
-fac_s = factor_s(vals_j, cst)
-solve_s = jax.jit(lambda f, b, c: fz_sub.solve(f, b, c))
-timed("factor (substitution)", factor_s, vals_j, cst)
-timed("solve (substitution)", solve_s, fac_s, b, cst)
+if os.environ.get("MGB_PROBE_SUB", "0") == "1":
+    fz_sub = NDFactorizer(sym, use_inv=False)
+    factor_s = jax.jit(lambda v, c: fz_sub.factor(v, c))
+    fac_s = factor_s(vals_j, cst)
+    solve_s = jax.jit(lambda f, b, c: fz_sub.solve(f, b, c))
+    timed("factor (substitution)", factor_s, vals_j, cst)
+    timed("solve (substitution)", solve_s, fac_s, b, cst)
+
+if os.environ.get("MGB_PROBE_DEPTH", "0") != "1":
+    sys.exit(0)  # per-depth section: ~33 remote compiles, opt-in
 
 # per-depth primitive costs
 print("\nper-depth primitives (chol / trisolve-eye / matmul Lsb):")
