@@ -51,6 +51,19 @@ c0 = jax.vmap(lambda xi: jnp.asarray(A.default_f(2, dt_)(xi), dt_))(g.x)
 ctx = A._SolverCtx(g, spec, A.default_Q(2, 1.0).barrier, c0)
 level = ctx.levels - 1
 
+# -- f64 vs f32 matmul rate: decides whether the ND factor is
+# flop-bound under f64 emulation (padded factor ~2.4 GF at L=7) or
+# op-latency bound.
+rng0 = np.random.default_rng(7)
+M64 = jnp.asarray(rng0.standard_normal((16, 512, 512)))
+M32 = M64.astype(jnp.float32)
+mmj = jax.jit(lambda a, b: a @ b)
+t64 = timed("matmul f64 (16,512,512)^2", mmj, M64, M64)
+t32 = timed("matmul f32 (16,512,512)^2", mmj, M32, M32)
+gf = 2 * 16 * 512**3 / 1e9
+print(f"  => f64 {gf/t64:.1f} GF/s, f32 {gf/t32:.1f} GF/s, "
+      f"ratio {t64/t32:.1f}x")
+
 # -- real solver programs at the fine level: pre (assembly), nd_init
 # (pre + factor + solve), nd_step (line search + pre + factor + solve).
 # Differences give the per-phase split of the ~2.7 s/Newton-it budget.
