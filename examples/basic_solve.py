@@ -4,6 +4,11 @@
 Run:  python examples/basic_solve.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import multigridbarrier_tpu as mgb
 
 # Solve the p=1 p-Laplace problem on [-1,1]^2 (reference:

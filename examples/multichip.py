@@ -10,6 +10,11 @@ On a TPU slice it uses all local chips automatically.
 
 import numpy as np
 import jax
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import multigridbarrier_tpu as mgb
 
 print("devices:", jax.devices())

@@ -12,6 +12,11 @@ Run:  python examples/obstacle.py
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import multigridbarrier_tpu as mgb
 from multigridbarrier_tpu.solver.convex import (
     convex_Euclidian_power,

@@ -4,6 +4,11 @@
 Run:  python examples/parabolic.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import multigridbarrier_tpu as mgb
 
 g = mgb.fem2d(L=2)
