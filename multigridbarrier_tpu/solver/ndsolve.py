@@ -207,22 +207,56 @@ class NDSymbolic:
         self.parent = parent
         maxd = int(depth_of.max())
         self.maxd = maxd
-        by_depth = [
-            [i for i in range(nfr) if depth_of[i] == d]
-            for d in range(maxd + 1)
-        ]
+
+        # -- grouping: the numeric phase batches fronts with identical
+        # padded shapes.  Default groups = tree depths.  MGB_ND_BUCKET=1
+        # additionally splits each depth into front-size classes
+        # (F = sep+bd rounded up on a geometric grid): per-depth shape
+        # padding costs CUBICALLY on the outlier front (measured 3.4x
+        # the actual factor flops at fem2d L=7), and when the f64 matmul
+        # rate — not the per-op latency — is the bottleneck, ~3x fewer
+        # flops beats ~3x fewer batches.  Ordering: groups ascend by
+        # (depth, class); the factorization walks them in reverse, and
+        # every extend-add target is a STRICT ancestor (smaller depth),
+        # so any within-depth class order is schedule-valid.
+        import os as _os
+
+        bucket = _os.environ.get("MGB_ND_BUCKET", "0") == "1"
+        _grid = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+                 768, 1024, 1536)
+
+        def _fclass(F):
+            for gv in _grid:
+                if F <= gv:
+                    return gv
+            return int(F)
+
+        gmap: dict = {}
+        for i, f in enumerate(fronts):
+            kk = (
+                (int(depth_of[i]), _fclass(len(f.sep) + len(f.bd)))
+                if bucket
+                else (int(depth_of[i]),)
+            )
+            gmap.setdefault(kk, []).append(i)
+        gkeys = sorted(gmap)
+        by_depth = [gmap[kk] for kk in gkeys]  # "by group"
         self.by_depth = by_depth
+        self.ngroups = len(by_depth)
+        self.group_of = np.full(nfr, -1, np.int64)
+        for gi, ids in enumerate(by_depth):
+            self.group_of[ids] = gi
         self.s_pad = [
-            max((len(fronts[i].sep) for i in by_depth[d]), default=0) or 1
-            for d in range(maxd + 1)
+            max((len(fronts[i].sep) for i in ids), default=0) or 1
+            for ids in by_depth
         ]
         self.b_pad = [
-            max((len(fronts[i].bd) for i in by_depth[d]), default=0)
-            for d in range(maxd + 1)
+            max((len(fronts[i].bd) for i in ids), default=0)
+            for ids in by_depth
         ]
         self.local_id = np.full(nfr, -1, np.int64)
-        for d in range(maxd + 1):
-            for k, i in enumerate(by_depth[d]):
+        for ids in by_depth:
+            for k, i in enumerate(ids):
                 self.local_id[i] = k
 
         # (front, node) -> padded slot lookup via sorted key array
@@ -234,7 +268,7 @@ class NDSymbolic:
             if len(f.bd):
                 slot_keys.append(np.int64(i) * m + f.bd)
                 slot_vals.append(
-                    self.s_pad[depth_of[i]]
+                    self.s_pad[self.group_of[i]]
                     + np.arange(len(f.bd), dtype=np.int64)
                 )
         self._slot_keys = np.concatenate(slot_keys)
@@ -251,9 +285,10 @@ class NDSymbolic:
 
     def _build_maps(self, pi, pj, real):
         nf = self.nf
-        maxd = self.maxd
+        ng = self.ngroups
         depth_of, owner = self.depth_of, self.owner
-        Fn = [self.s_pad[d] + self.b_pad[d] for d in range(maxd + 1)]
+        group_of = self.group_of
+        Fn = [self.s_pad[d] + self.b_pad[d] for d in range(ng)]
 
         # -- assembly (vectorized over all real pairs) ---------------------
         pids = np.nonzero(real)[0]
@@ -276,11 +311,11 @@ class NDSymbolic:
         t = np.where(depth_of[oi] >= depth_of[oj], oi, oj)
         si = self._slots(t, i_n)
         sj = self._slots(t, j_n)
-        td = depth_of[t]
+        td = group_of[t]
         k = self.local_id[t]
         self.asm_pid: List[np.ndarray] = []
         self.asm_dst: List[np.ndarray] = []
-        for d in range(maxd + 1):
+        for d in range(ng):
             sel = td == d
             self.asm_pid.append(pids[sel])
             self.asm_dst.append(
@@ -294,7 +329,7 @@ class NDSymbolic:
         # dense constant form was also ~360MB at L=7 and overflowed the
         # remote compile service's request limit).
         self.pad_ids: List[np.ndarray] = []
-        for d in range(maxd + 1):
+        for d in range(ng):
             ids = []
             for kk, i in enumerate(self.by_depth[d]):
                 f = self.fronts[i]
@@ -310,7 +345,7 @@ class NDSymbolic:
         self.ea_src: List[np.ndarray] = []
         self.ea_dst: List[np.ndarray] = []
         self.ea_tgt: List[np.ndarray] = []
-        for d in range(maxd + 1):
+        for d in range(ng):
             srcs, dsts, tgts = [], [], []
             Bn = self.b_pad[d]
             for i in self.by_depth[d]:
@@ -325,12 +360,12 @@ class NDSymbolic:
                 tt = np.where(depth_of[oa] >= depth_of[ob], oa, ob)
                 ss_i = self._slots(tt, ua)
                 ss_j = self._slots(tt, ub)
-                ttd = depth_of[tt]
+                ttd = group_of[tt]
                 kt = self.local_id[tt]
                 a_id = np.repeat(np.arange(Bi), Bi)
                 b_id = np.tile(np.arange(Bi), Bi)
                 src = (np.int64(kk) * Bn + a_id) * Bn + b_id
-                Ft = np.asarray([Fn[x] for x in range(maxd + 1)])[ttd]
+                Ft = np.asarray(Fn)[ttd]
                 dst = (kt * Ft + ss_i) * Ft + ss_j
                 srcs.append(src)
                 dsts.append(dst)
@@ -351,15 +386,15 @@ class NDSymbolic:
         # assembly segment_sum.  This replaces the old per-(source,
         # target)-depth scatter+add chain — ~maxd^2/2 segment_sums and
         # adds per factorization — with exactly one scatter per depth.
-        self.sb_off = np.zeros(maxd + 2, np.int64)
-        for d in range(maxd + 1):
+        self.sb_off = np.zeros(ng + 1, np.int64)
+        for d in range(ng):
             n_d = len(self.by_depth[d])
             self.sb_off[d + 1] = (
                 self.sb_off[d] + n_d * self.b_pad[d] * self.b_pad[d]
             )
-        tsrc: List[List[np.ndarray]] = [[] for _ in range(maxd + 1)]
-        tdst: List[List[np.ndarray]] = [[] for _ in range(maxd + 1)]
-        for d in range(maxd + 1):
+        tsrc: List[List[np.ndarray]] = [[] for _ in range(ng)]
+        tdst: List[List[np.ndarray]] = [[] for _ in range(ng)]
+        for d in range(ng):
             tgt = self.ea_tgt[d]
             for td in np.unique(tgt):
                 sel = tgt == td
@@ -381,14 +416,13 @@ class NDSymbolic:
         sweeps (each `.at[-1].set(0.0)` was one more serialized TPU
         scatter per depth)."""
         nf = self.nf
-        maxd = self.maxd
         self.sep_gids: List[np.ndarray] = []
         self.bd_gids: List[np.ndarray] = []
         self.sep_gids_w: List[np.ndarray] = []
         self.bd_gids_w: List[np.ndarray] = []
         N = self.m * nf
         self.N = N
-        for d in range(maxd + 1):
+        for d in range(self.ngroups):
             n_d = len(self.by_depth[d])
             sg = np.full((n_d, self.s_pad[d] * nf), N, np.int64)
             bg = np.full((n_d, max(self.b_pad[d], 1) * nf), N, np.int64)
@@ -583,7 +617,7 @@ class NDFactorizer:
                         [sym.asm_dst[d], sym.ea_tdst[d], sym.pad_ids[d]]
                     )
                 )
-                for d in range(sym.maxd + 1)
+                for d in range(sym.ngroups)
             ],
             ea_tsrc=[idx(a) for a in sym.ea_tsrc],
             sep_gids=[idx(a) for a in sym.sep_gids],
@@ -611,13 +645,13 @@ class NDFactorizer:
         vb = jnp.transpose(
             vals.reshape(nf, nf, nuniq).astype(dtype), (2, 0, 1)
         )  # (nuniq, nf, nf) pair blocks
-        Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.maxd + 1)]
+        Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
         eye_nf = jnp.eye(nf, dtype=dtype)
         # children's Schur pair-blocks, written once per depth at a
         # static offset and gathered by ancestor assemblies
         sb_flat = jnp.zeros((int(sym.sb_off[-1]), nf, nf), dtype)
         out = []
-        for d in range(sym.maxd, -1, -1):
+        for d in range(sym.ngroups - 1, -1, -1):
             n_d = len(sym.by_depth[d])
             s = sym.s_pad[d] * nf
             # ONE segment_sum assembles everything this depth needs:
@@ -675,13 +709,13 @@ class NDFactorizer:
         """Solve A x = b.  b: (N,) node-major global dofs
         (dof = node * nf + field)."""
         sym = self.sym
-        maxd = sym.maxd
+        ng = sym.ngroups
         dtype = fac[0][0].dtype  # sweeps run at the factor's precision
         # slot N is the read-only pad sink (always zero); slot N+1 is the
         # write-only pad sink (garbage, never read) — see _build_solve_maps
         bg = jnp.concatenate([b.astype(dtype), jnp.zeros(2, dtype)])
         ys = []
-        for pos, d in enumerate(range(maxd, -1, -1)):
+        for pos, d in enumerate(range(ng - 1, -1, -1)):
             Lk, Lsb = fac[pos]
             bS = bg[consts["sep_gids"][d]]
             if self.use_inv:
@@ -698,7 +732,7 @@ class NDFactorizer:
                 )
         xg = jnp.zeros(sym.N + 2, dtype)
         for pos in range(len(fac) - 1, -1, -1):
-            d = maxd - pos
+            d = ng - 1 - pos
             Lk, Lsb = fac[pos]
             yS = ys[pos]
             if Lsb.shape[2]:

@@ -98,7 +98,7 @@ sym = NDSymbolic(
 )
 fz = NDFactorizer(sym, use_inv=True)
 cst = fz.consts()
-print(f"L={L} m={m} maxd={sym.maxd} backend={jax.default_backend()}")
+print(f"L={L} m={m} maxd={sym.maxd} groups={sym.ngroups} backend={jax.default_backend()}")
 
 # representative vals: assemble identity-dominant SPD system
 rng = np.random.default_rng(0)
@@ -132,7 +132,7 @@ if os.environ.get("MGB_PROBE_DEPTH", "0") != "1":
 
 # per-depth primitive costs
 print("\nper-depth primitives (chol / trisolve-eye / matmul Lsb):")
-for d in range(sym.maxd + 1):
+for d in range(sym.ngroups):
     n_d = len(sym.by_depth[d])
     s = sym.s_pad[d] * nf
     bn = sym.b_pad[d] * nf
