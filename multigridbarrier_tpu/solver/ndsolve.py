@@ -209,8 +209,9 @@ class NDSymbolic:
         self.maxd = maxd
 
         # -- grouping: the numeric phase batches fronts with identical
-        # padded shapes.  Default groups = tree depths.  MGB_ND_BUCKET=1
-        # additionally splits each depth into front-size classes
+        # padded shapes.  Base groups = tree depths.  MGB_ND_BUCKET=1
+        # (default on CPU backends) additionally splits each depth into
+        # front-size classes
         # (F = sep+bd rounded up on a geometric grid): per-depth shape
         # padding costs CUBICALLY on the outlier front (measured 3.4x
         # the actual factor flops at fem2d L=7), and when the f64 matmul
@@ -221,7 +222,18 @@ class NDSymbolic:
         # so any within-depth class order is schedule-valid.
         import os as _os
 
-        bucket = _os.environ.get("MGB_ND_BUCKET", "0") == "1"
+        _env = _os.environ.get("MGB_ND_BUCKET")
+        if _env is not None:
+            bucket = _env == "1"
+        else:
+            # measured: 20% faster end-to-end on the (flop-bound) 1-core
+            # CPU at fem2d L=6/L=7 with identical iteration counts; on
+            # accelerators the extra (smaller) batches may cost more in
+            # per-op latency than the flop cut saves — default off until
+            # the TPU probe sweep decides.
+            import jax as _jax
+
+            bucket = _jax.default_backend() == "cpu"
         _grid = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
                  768, 1024, 1536)
 
