@@ -28,23 +28,27 @@ Structure
 ---------
 * NDSymbolic (host, numpy, cached per level): geometric nested
   dissection of the mesh-node graph (coordinate median bisection with a
-  one-sided vertex separator), elimination tree, per-depth front
-  buckets (padded to common shapes), and three families of NODE-PAIR
-  index maps (fields ride along as dense nf x nf blocks — 4x smaller
-  maps than dof-level and block gathers vectorize better):
-    - assembly:  vals pair-id -> (front, row-slot, col-slot);
-    - extend-add: child Schur pair -> ancestor front pair, fanned in
-      DIRECTLY to the deeper owner (additivity of F_BB through
-      intermediate eliminations makes hop-by-hop extend-add
+  one-sided vertex separator), elimination tree, front groups (per tree
+  depth, optionally split into front-size classes — MGB_ND_BUCKET —
+  because per-depth shape padding costs cubically on the outlier
+  front), and three families of DOF-LEVEL index maps so the numeric
+  phase needs no layout passes at all:
+    - assembly:  flat vals index -> interleaved (front, row, col) dof;
+    - extend-add: child Schur dof pair -> ancestor front dof pair,
+      fanned in DIRECTLY to the deeper owner (additivity of F_BB
+      through intermediate eliminations makes hop-by-hop extend-add
       unnecessary);
-    - solve:     global dof id <-> (front, slot) for the two sweeps.
+    - solve:     global dof id <-> (front, slot) for the two sweeps,
+      with separate pad read/write sinks (no pad-reset scatters).
   The `vals` input is the SAME deduplicated segment-sum array the host
   path uses (hostsolve.HostPattern layout: ((f1*nf+f2)*nuniq + pid)).
-* NDFactorizer (jax, jittable): an unrolled loop over tree depths
-  (deepest first), each depth one batch of fronts with identical padded
-  shapes.  ~8 fused ops per depth, ~log2(m) depths: a factorization is
-  ~100 XLA ops of batched dense algebra — device-time at the per-op
-  latency floor instead of seconds of single-core SuperLU.
+* NDFactorizer (jax, jittable): an unrolled loop over front groups
+  (deepest first), each group one batch of fronts with identical padded
+  shapes; per group ONE combined segment_sum assembles matrix values +
+  child Schur contributions + pad unit diagonals straight into the
+  interleaved dense fronts.  ~7 ops per group: a factorization is a
+  few hundred XLA ops of batched dense algebra — device-time near the
+  per-op latency floor instead of seconds of single-core SuperLU.
 
 Numerics match the on-device dense path (linsolve.dense_solve): the
 factorization is UNSHIFTED (a diagonal shift destroys the Newton
@@ -325,14 +329,33 @@ class NDSymbolic:
         sj = self._slots(t, j_n)
         td = group_of[t]
         k = self.local_id[t]
+        # DOF-LEVEL maps: the combined segment_sum produces the
+        # field-interleaved dense fronts directly — no pair-block
+        # interleave/deinterleave transposes and no vals transpose in
+        # the numeric phase (those were 3 full-front-buffer layout ops
+        # per group).  asm_pid indexes the FLAT vals array
+        # ((f1*nf+f2)*nuniq + pid); dst = (k*F + si*nf+f1)*F + sj*nf+f2.
+        f1 = np.repeat(np.arange(nf, dtype=np.int64), nf)
+        f2 = np.tile(np.arange(nf, dtype=np.int64), nf)
+        nuniq = self.nuniq
         self.asm_pid: List[np.ndarray] = []
         self.asm_dst: List[np.ndarray] = []
         for d in range(ng):
             sel = td == d
-            self.asm_pid.append(pids[sel])
-            self.asm_dst.append(
-                (k[sel] * Fn[d] + si[sel]) * Fn[d] + sj[sel]
+            F = Fn[d] * nf
+            p_sel = pids[sel]
+            self.asm_pid.append(
+                ((f1 * nf + f2) * nuniq)[None, :] + p_sel[:, None]
             )
+            self.asm_dst.append(
+                (
+                    (k[sel, None] * Fn[d] + si[sel, None]) * nf + f1
+                ) * F
+                + sj[sel, None] * nf
+                + f2
+            )
+            self.asm_pid[-1] = self.asm_pid[-1].reshape(-1)
+            self.asm_dst[-1] = self.asm_dst[-1].reshape(-1)
 
         # -- pad identity as pair-block destinations: pad slot s of front
         # k contributes an eye(nf) block at pair (s, s).  Riding these
@@ -343,6 +366,7 @@ class NDSymbolic:
         self.pad_ids: List[np.ndarray] = []
         for d in range(ng):
             ids = []
+            F = Fn[d] * nf
             for kk, i in enumerate(self.by_depth[d]):
                 f = self.fronts[i]
                 pads = list(range(len(f.sep), self.s_pad[d])) + [
@@ -350,7 +374,9 @@ class NDSymbolic:
                     for b in range(len(f.bd), self.b_pad[d])
                 ]
                 for s in pads:
-                    ids.append((kk * Fn[d] + s) * Fn[d] + s)
+                    for ff in range(nf):
+                        dof = s * nf + ff
+                        ids.append((kk * F + dof) * F + dof)
             self.pad_ids.append(np.asarray(ids, np.int64))
 
         # -- extend-add: Schur pair (front i, a, b) -> deeper-owner front --
@@ -360,6 +386,7 @@ class NDSymbolic:
         for d in range(ng):
             srcs, dsts, tgts = [], [], []
             Bn = self.b_pad[d]
+            Bf = Bn * nf
             for i in self.by_depth[d]:
                 f = self.fronts[i]
                 Bi = len(f.bd)
@@ -376,12 +403,22 @@ class NDSymbolic:
                 kt = self.local_id[tt]
                 a_id = np.repeat(np.arange(Bi), Bi)
                 b_id = np.tile(np.arange(Bi), Bi)
-                src = (np.int64(kk) * Bn + a_id) * Bn + b_id
-                Ft = np.asarray(Fn)[ttd]
-                dst = (kt * Ft + ss_i) * Ft + ss_j
+                Ft = np.asarray(Fn)[ttd] * nf
+                # dof-level expansion (nf^2 combos per node pair)
+                src = (
+                    ((np.int64(kk) * Bn + a_id)[:, None] * nf + f1) * Bf
+                    + b_id[:, None] * nf
+                    + f2
+                ).reshape(-1)
+                dst = (
+                    ((kt * np.asarray(Fn)[ttd] + ss_i)[:, None] * nf + f1)
+                    * Ft[:, None]
+                    + ss_j[:, None] * nf
+                    + f2
+                ).reshape(-1)
                 srcs.append(src)
                 dsts.append(dst)
-                tgts.append(ttd)
+                tgts.append(np.repeat(ttd, nf * nf))
             if srcs:
                 self.ea_src.append(np.concatenate(srcs))
                 self.ea_dst.append(np.concatenate(dsts))
@@ -401,9 +438,8 @@ class NDSymbolic:
         self.sb_off = np.zeros(ng + 1, np.int64)
         for d in range(ng):
             n_d = len(self.by_depth[d])
-            self.sb_off[d + 1] = (
-                self.sb_off[d] + n_d * self.b_pad[d] * self.b_pad[d]
-            )
+            Bf = self.b_pad[d] * nf
+            self.sb_off[d + 1] = self.sb_off[d] + n_d * Bf * Bf
         tsrc: List[List[np.ndarray]] = [[] for _ in range(ng)]
         tdst: List[List[np.ndarray]] = [[] for _ in range(ng)]
         for d in range(ng):
@@ -553,18 +589,6 @@ def _chol_blocked(Af, base: int = 32):
     return L[:, :s, :s]
 
 
-def _interleave(blocks, n_d, Fn, nf):
-    """(n_d*Fn*Fn, nf, nf) pair-blocks -> (n_d, Fn*nf, Fn*nf) dense."""
-    M = blocks.reshape(n_d, Fn, Fn, nf, nf)
-    return jnp.transpose(M, (0, 1, 3, 2, 4)).reshape(n_d, Fn * nf, Fn * nf)
-
-
-def _deinterleave(M, n_d, Bn, nf):
-    """(n_d, Bn*nf, Bn*nf) dense -> (n_d*Bn*Bn, nf, nf) pair-blocks."""
-    B = M.reshape(n_d, Bn, nf, Bn, nf)
-    return jnp.transpose(B, (0, 1, 3, 2, 4)).reshape(n_d * Bn * Bn, nf, nf)
-
-
 class NDFactorizer:
     """Device-resident factor/solve built from an NDSymbolic schedule.
 
@@ -652,39 +676,37 @@ class NDFactorizer:
         and escapes to an f64 factor when the f32 leg stops making
         Newton progress."""
         sym = self.sym
-        nf, nuniq = sym.nf, sym.nuniq
+        nf = sym.nf
         dtype = self.dtype if dtype is None else dtype
-        vb = jnp.transpose(
-            vals.reshape(nf, nf, nuniq).astype(dtype), (2, 0, 1)
-        )  # (nuniq, nf, nf) pair blocks
+        vflat = vals.astype(dtype)  # flat (f1*nf+f2)*nuniq + pid layout
         Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
-        eye_nf = jnp.eye(nf, dtype=dtype)
-        # children's Schur pair-blocks, written once per depth at a
-        # static offset and gathered by ancestor assemblies
-        sb_flat = jnp.zeros((int(sym.sb_off[-1]), nf, nf), dtype)
+        # children's Schur complements (dense, field-interleaved),
+        # written once per group at a static offset and gathered by
+        # ancestor assemblies
+        sb_flat = jnp.zeros(int(sym.sb_off[-1]), dtype)
         out = []
         for d in range(sym.ngroups - 1, -1, -1):
             n_d = len(sym.by_depth[d])
+            F = Fn[d] * nf
             s = sym.s_pad[d] * nf
-            # ONE segment_sum assembles everything this depth needs:
-            # deduplicated matrix pair-blocks + child Schur contributions
-            # + pad-slot identity blocks (consts['asm_dst'] is their
-            # pre-concatenated destination array).
-            data = vb[consts["asm_pid"][d]]
+            # ONE segment_sum assembles everything this group needs —
+            # deduplicated matrix values + child Schur contributions +
+            # pad-slot unit diagonals — at DOF level, producing the
+            # field-interleaved dense fronts directly (no pair-block
+            # interleave/deinterleave layout passes).
+            data = vflat[consts["asm_pid"][d]]
             npad = len(sym.pad_ids[d])
             parts = [data]
             if consts["ea_tsrc"][d].shape[0]:
                 parts.append(sb_flat[consts["ea_tsrc"][d]])
             if npad:
-                parts.append(
-                    jnp.broadcast_to(eye_nf, (npad, nf, nf))
-                )
+                parts.append(jnp.ones(npad, dtype))
             blocks = jax.ops.segment_sum(
                 jnp.concatenate(parts) if len(parts) > 1 else parts[0],
                 consts["asm_dst"][d],
-                num_segments=n_d * Fn[d] * Fn[d],
+                num_segments=n_d * F * F,
             )
-            fronts = _interleave(blocks, n_d, Fn[d], nf)
+            fronts = blocks.reshape(n_d, F, F)
             if self.chol == "blocked" and s > 32:
                 Ls = _chol_blocked(fronts[:, :s, :s])
             else:
@@ -711,9 +733,8 @@ class NDFactorizer:
                 schur = fronts[:, s:, s:] - jnp.einsum(
                     "kab,kac->kbc", Lsb, Lsb
                 )
-                sb = _deinterleave(schur, n_d, sym.b_pad[d], nf)
                 sb_flat = jax.lax.dynamic_update_slice(
-                    sb_flat, sb, (int(sym.sb_off[d]), 0, 0)
+                    sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
                 )
         return out
 
