@@ -44,8 +44,12 @@ def collective_counts(ctx, z, t):
         dtype = z.dtype
         hist = {
             key: jnp.zeros(HIST, dtype=dtype)
-            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits")
+            for key in (
+                "lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel"
+            )
         }
+        nf = ctx.spec.nfields
+        m = ctx._bases[lvl].m
         lowered = loop.lower(
             Ps,
             bases,
@@ -60,6 +64,7 @@ def collective_counts(ctx, z, t):
             jnp.zeros(n_smooth, dtype=dtype),
             hist,
             jnp.asarray(0, jnp.int32),
+            jnp.zeros((nf, m + 1), dtype=dtype),
         )
         txt = lowered.compile().as_text()
         counts = {
