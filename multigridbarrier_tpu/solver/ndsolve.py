@@ -626,6 +626,11 @@ class NDFactorizer:
         _env = __import__("os").environ
         self.tri_inv = _env.get("MGB_ND_TRIINV", "blocked")
         self.chol = _env.get("MGB_ND_CHOL", "xla")
+        # assembly scatter shape: 0 = one concat+segment_sum per group,
+        # 1 = split the extend-add into its own scatter-add (lets XLA
+        # fuse the Schur gather into the scatter instead of
+        # materializing the concat buffer)
+        self.split_sum = _env.get("MGB_ND_SPLITSUM", "0") == "1"
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -655,6 +660,16 @@ class NDFactorizer:
                 )
                 for d in range(sym.ngroups)
             ],
+            # split-sum variant operands (only materialized when the
+            # MGB_ND_SPLITSUM A/B flag is on — they duplicate the big
+            # extend-add maps, ~150MB at L=8)
+            asm_dst_nea=[
+                idx(np.concatenate([sym.asm_dst[d], sym.pad_ids[d]]))
+                for d in range(sym.ngroups)
+            ] if self.split_sum else None,
+            ea_tdst=(
+                [idx(a) for a in sym.ea_tdst] if self.split_sum else None
+            ),
             ea_tsrc=[idx(a) for a in sym.ea_tsrc],
             sep_gids=[idx(a) for a in sym.sep_gids],
             bd_gids=[idx(a) for a in sym.bd_gids],
@@ -696,16 +711,33 @@ class NDFactorizer:
             # interleave/deinterleave layout passes).
             data = vflat[consts["asm_pid"][d]]
             npad = len(sym.pad_ids[d])
-            parts = [data]
-            if consts["ea_tsrc"][d].shape[0]:
-                parts.append(sb_flat[consts["ea_tsrc"][d]])
-            if npad:
-                parts.append(jnp.ones(npad, dtype))
-            blocks = jax.ops.segment_sum(
-                jnp.concatenate(parts) if len(parts) > 1 else parts[0],
-                consts["asm_dst"][d],
-                num_segments=n_d * F * F,
-            )
+            nseg = n_d * F * F
+            if self.split_sum and consts["ea_tsrc"][d].shape[0]:
+                # two scatter-adds instead of concat+one: avoids
+                # materializing the gathered extend-add data (XLA can
+                # fuse the sb_flat gather into the second scatter)
+                parts = [data]
+                if npad:
+                    parts.append(jnp.ones(npad, dtype))
+                blocks = jax.ops.segment_sum(
+                    jnp.concatenate(parts) if npad else data,
+                    consts["asm_dst_nea"][d],
+                    num_segments=nseg,
+                )
+                blocks = blocks.at[consts["ea_tdst"][d]].add(
+                    sb_flat[consts["ea_tsrc"][d]]
+                )
+            else:
+                parts = [data]
+                if consts["ea_tsrc"][d].shape[0]:
+                    parts.append(sb_flat[consts["ea_tsrc"][d]])
+                if npad:
+                    parts.append(jnp.ones(npad, dtype))
+                blocks = jax.ops.segment_sum(
+                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
+                    consts["asm_dst"][d],
+                    num_segments=nseg,
+                )
             fronts = blocks.reshape(n_d, F, F)
             if self.chol == "blocked" and s > 32:
                 Ls = _chol_blocked(fronts[:, :s, :s])
