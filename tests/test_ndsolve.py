@@ -68,14 +68,26 @@ def _grid_problem(G, nf, pad, seed=0):
 
 
 @pytest.mark.parametrize(
-    "nf,pad,leaf,use_inv",
-    [(1, False, 4, False), (2, True, 4, False), (2, True, 4, True),
-     (2, True, 16, True)],
+    "nf,pad,leaf,use_inv,splitsum",
+    [(1, False, 4, False, False), (2, True, 4, False, False),
+     (2, True, 4, True, False), (2, True, 16, True, False),
+     (2, True, 4, False, True)],
 )
-def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv):
+def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum):
+    import os
+
     idx, coords, vals, Ad = _grid_problem(6, nf, pad)
     sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=leaf)
-    fz = NDFactorizer(sym, use_inv=use_inv)
+    prev = os.environ.get("MGB_ND_SPLITSUM")
+    try:
+        if splitsum:
+            os.environ["MGB_ND_SPLITSUM"] = "1"
+        fz = NDFactorizer(sym, use_inv=use_inv)
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_ND_SPLITSUM", None)
+        else:
+            os.environ["MGB_ND_SPLITSUM"] = prev
     cst = fz.consts()
     fac = fz.factor(jnp.asarray(vals), cst)
     for Ls, Lsb in fac:
