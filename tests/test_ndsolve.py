@@ -217,3 +217,26 @@ def test_chol_blocked_matches_xla():
             L_ref, axis=(1, 2)
         )
         assert rel.max() < 1e-13, (s, rel.max())
+
+
+def test_end_to_end_forced_nd_3d():
+    """3D coverage of the ND fine solver: hexahedral Q_k geometry (nf=2,
+    k=5 operators), 3-axis geometric bisection.  Forced through ND via a
+    low dense_threshold; the default-threshold solve (dense fine level)
+    is the ground truth."""
+    import os
+
+    s_ref = mgb.amgb(mgb.fem3d(L=2, k=2), p=1.0, tol=1e-6)
+    b = Backend(dtype=jnp.float64, dense_threshold=64)
+    prev = os.environ.get("MGB_FINE_SOLVER")
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        s_nd = mgb.amgb(mgb.fem3d(L=2, k=2, backend=b), p=1.0, tol=1e-6)
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_FINE_SOLVER", None)
+        else:
+            os.environ["MGB_FINE_SOLVER"] = prev
+    c_ref = s_ref.SOL_main.c_dot_Dz[-1]
+    c_nd = s_nd.SOL_main.c_dot_Dz[-1]
+    assert abs(c_nd - c_ref) < 1e-5 * abs(c_ref), (c_nd, c_ref)
