@@ -315,7 +315,13 @@ def schwarz_setup(sys_: LevelSystem, nf: int) -> SchwarzState:
     # the f32 Cholesky (needs cond <~ 1e7; the scaled global matrix
     # reaches ~1e8+ near the f64 floor).
     d = jnp.diagonal(B, axis1=1, axis2=2)
-    lift_abs = float(os.environ.get("MGB_SCHWARZ_LIFT", "1e-4"))
+    # Measured A/B (fem2d mgcg path): 3e-3 beats 1e-4 in BOTH accuracy
+    # and wall time (L=5: 27.4s vs 32.2s, identical 145 its, exact
+    # c=27.3607025 both; L=6: c 15.4192 vs 15.4210 against the exact
+    # 15.4183, ~600s both — the L>=6 mid-path saturation remains the
+    # open mgcg problem, see CLAUDE.md).  3e-2 locks the path (earlier
+    # A/B) — do not raise further.
+    lift_abs = float(os.environ.get("MGB_SCHWARZ_LIFT", "3e-3"))
     lift = lift_abs + jnp.where(d > 0, 0.0, 1.0)
     B_reg = B + jax.vmap(jnp.diag)(lift)
     chol = jnp.linalg.cholesky(B_reg)
