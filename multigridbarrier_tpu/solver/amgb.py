@@ -324,7 +324,14 @@ class _SolverCtx:
 
         from ..runtime.pallas_kernels import pallas_enabled
 
-        self._use_pallas = pallas_enabled(geometry.x.dtype)
+        # Pallas assembly only on UNMESHED backends: Mosaic kernels have
+        # no SPMD partitioning rule, so inside a GSPMD program a
+        # pallas_call over element-sharded operands either fails to
+        # compile or forces a full all-gather per step — the compile
+        # probe (tiny, unsharded) cannot catch that.
+        self._use_pallas = self.backend.mesh is None and pallas_enabled(
+            geometry.x.dtype
+        )
         self._steps = {}
         self._hosts = {}
         self._loops = {}
@@ -810,11 +817,7 @@ class _SolverCtx:
             # constants: literal constants are serialized into the HLO
             # and the axon remote compile service rejects the resulting
             # multi-hundred-MB request with HTTP 413 (seen at L=7).
-            def _idx(a):
-                a = np.asarray(a)
-                if a.size == 0 or a.max() < np.iinfo(np.int32).max:
-                    a = a.astype(np.int32)
-                return jnp.asarray(a)
+            from .ndsolve import narrow_idx as _idx
 
             consts = dict(
                 nd=fz.consts(),

@@ -66,12 +66,23 @@ cache, dtype policy, and jit boundary with the rest of the solver.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def narrow_idx(a):
+    """Index arrays as device operands: int32 when they fit (TPU
+    gathers/scatters on int64 cost extra and the big maps are tens of
+    MB), int64 otherwise."""
+    a = np.asarray(a)
+    if a.size == 0 or a.max() < np.iinfo(np.int32).max:
+        a = a.astype(np.int32)
+    return jnp.asarray(a)
 
 
 # ---------------------------------------------------------------------------
@@ -224,20 +235,16 @@ class NDSymbolic:
         # (depth, class); the factorization walks them in reverse, and
         # every extend-add target is a STRICT ancestor (smaller depth),
         # so any within-depth class order is schedule-valid.
-        import os as _os
-
-        _env = _os.environ.get("MGB_ND_BUCKET")
-        if _env is not None:
-            bucket = _env == "1"
+        _envb = os.environ.get("MGB_ND_BUCKET")
+        if _envb is not None:
+            bucket = _envb == "1"
         else:
             # measured: 20% faster end-to-end on the (flop-bound) 1-core
             # CPU at fem2d L=6/L=7 with identical iteration counts; on
             # accelerators the extra (smaller) batches may cost more in
             # per-op latency than the flop cut saves — default off until
             # the TPU probe sweep decides.
-            import jax as _jax
-
-            bucket = _jax.default_backend() == "cpu"
+            bucket = jax.default_backend() == "cpu"
         _grid = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
                  768, 1024, 1536)
 
@@ -614,7 +621,7 @@ class NDFactorizer:
         # +10% Newton its at the f64 floor, so CPU keeps substitution;
         # on TPU the solve-count latency dominates and Linv wins.
         if use_inv is None:
-            env = __import__("os").environ.get("MGB_ND_INV")
+            env = os.environ.get("MGB_ND_INV")
             if env is not None:
                 use_inv = env == "1"
             else:
@@ -623,14 +630,13 @@ class NDFactorizer:
         # Explicit-inverse construction: 'xla' = solve_triangular vs
         # identity (sequential panel substitution); 'blocked' = block-
         # doubling matmul inverse (_tri_inv_blocked; MXU-dominant).
-        _env = __import__("os").environ
-        self.tri_inv = _env.get("MGB_ND_TRIINV", "blocked")
-        self.chol = _env.get("MGB_ND_CHOL", "xla")
+        self.tri_inv = os.environ.get("MGB_ND_TRIINV", "blocked")
+        self.chol = os.environ.get("MGB_ND_CHOL", "xla")
         # assembly scatter shape: 0 = one concat+segment_sum per group,
         # 1 = split the extend-add into its own scatter-add (lets XLA
         # fuse the Schur gather into the scatter instead of
         # materializing the concat buffer)
-        self.split_sum = _env.get("MGB_ND_SPLITSUM", "0") == "1"
+        self.split_sum = os.environ.get("MGB_ND_SPLITSUM", "0") == "1"
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -643,38 +649,41 @@ class NDFactorizer:
         on int64 indices cost extra and the maps are tens of MB at
         L>=7."""
         sym = self.sym
-
-        def idx(a):
-            a = np.asarray(a)
-            if a.size == 0 or a.max() < np.iinfo(np.int32).max:
-                a = a.astype(np.int32)
-            return jnp.asarray(a)
-
+        idx = narrow_idx
+        # exactly ONE family of destination maps is materialized (they
+        # are the largest device operands, ~150MB at L=8): the combined
+        # concat+single-scatter form by default, or the split form
+        # under the MGB_ND_SPLITSUM A/B flag.
+        if self.split_sum:
+            dst = dict(
+                asm_dst=None,
+                asm_dst_nea=[
+                    idx(np.concatenate([sym.asm_dst[d], sym.pad_ids[d]]))
+                    for d in range(sym.ngroups)
+                ],
+                ea_tdst=[idx(a) for a in sym.ea_tdst],
+            )
+        else:
+            dst = dict(
+                asm_dst=[
+                    idx(
+                        np.concatenate(
+                            [sym.asm_dst[d], sym.ea_tdst[d], sym.pad_ids[d]]
+                        )
+                    )
+                    for d in range(sym.ngroups)
+                ],
+                asm_dst_nea=None,
+                ea_tdst=None,
+            )
         return dict(
             asm_pid=[idx(a) for a in sym.asm_pid],
-            asm_dst=[
-                idx(
-                    np.concatenate(
-                        [sym.asm_dst[d], sym.ea_tdst[d], sym.pad_ids[d]]
-                    )
-                )
-                for d in range(sym.ngroups)
-            ],
-            # split-sum variant operands (only materialized when the
-            # MGB_ND_SPLITSUM A/B flag is on — they duplicate the big
-            # extend-add maps, ~150MB at L=8)
-            asm_dst_nea=[
-                idx(np.concatenate([sym.asm_dst[d], sym.pad_ids[d]]))
-                for d in range(sym.ngroups)
-            ] if self.split_sum else None,
-            ea_tdst=(
-                [idx(a) for a in sym.ea_tdst] if self.split_sum else None
-            ),
             ea_tsrc=[idx(a) for a in sym.ea_tsrc],
             sep_gids=[idx(a) for a in sym.sep_gids],
             bd_gids=[idx(a) for a in sym.bd_gids],
             sep_gids_w=[idx(a) for a in sym.sep_gids_w],
             bd_gids_w=[idx(a) for a in sym.bd_gids_w],
+            **dst,
         )
 
     def factor(self, vals: jnp.ndarray, consts, dtype=None):
@@ -712,10 +721,11 @@ class NDFactorizer:
             data = vflat[consts["asm_pid"][d]]
             npad = len(sym.pad_ids[d])
             nseg = n_d * F * F
-            if self.split_sum and consts["ea_tsrc"][d].shape[0]:
+            if self.split_sum:
                 # two scatter-adds instead of concat+one: avoids
                 # materializing the gathered extend-add data (XLA can
-                # fuse the sb_flat gather into the second scatter)
+                # fuse the sb_flat gather into the second scatter).
+                # Measured SLOWER on XLA:CPU; kept as a TPU A/B flag.
                 parts = [data]
                 if npad:
                     parts.append(jnp.ones(npad, dtype))
@@ -724,9 +734,10 @@ class NDFactorizer:
                     consts["asm_dst_nea"][d],
                     num_segments=nseg,
                 )
-                blocks = blocks.at[consts["ea_tdst"][d]].add(
-                    sb_flat[consts["ea_tsrc"][d]]
-                )
+                if consts["ea_tsrc"][d].shape[0]:
+                    blocks = blocks.at[consts["ea_tdst"][d]].add(
+                        sb_flat[consts["ea_tsrc"][d]]
+                    )
             else:
                 parts = [data]
                 if consts["ea_tsrc"][d].shape[0]:

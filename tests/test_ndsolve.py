@@ -80,8 +80,8 @@ def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum):
     sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=leaf)
     prev = os.environ.get("MGB_ND_SPLITSUM")
     try:
-        if splitsum:
-            os.environ["MGB_ND_SPLITSUM"] = "1"
+        # pin BOTH ways so ambient A/B env can't collapse the matrix
+        os.environ["MGB_ND_SPLITSUM"] = "1" if splitsum else "0"
         fz = NDFactorizer(sym, use_inv=use_inv)
     finally:
         if prev is None:
