@@ -390,50 +390,55 @@ class NDSymbolic:
         self.ea_src: List[np.ndarray] = []
         self.ea_dst: List[np.ndarray] = []
         self.ea_tgt: List[np.ndarray] = []
+        Fn_arr = np.asarray(Fn)
         for d in range(ng):
-            srcs, dsts, tgts = [], [], []
             Bn = self.b_pad[d]
             Bf = Bn * nf
-            for i in self.by_depth[d]:
-                f = self.fronts[i]
-                Bi = len(f.bd)
-                if Bi == 0:
-                    continue
-                kk = self.local_id[i]
-                ua = np.repeat(f.bd, Bi)
-                ub = np.tile(f.bd, Bi)
-                oa, ob = owner[ua], owner[ub]
-                tt = np.where(depth_of[oa] >= depth_of[ob], oa, ob)
-                ss_i = self._slots(tt, ua)
-                ss_j = self._slots(tt, ub)
-                ttd = group_of[tt]
-                kt = self.local_id[tt]
-                a_id = np.repeat(np.arange(Bi), Bi)
-                b_id = np.tile(np.arange(Bi), Bi)
-                Ft = np.asarray(Fn)[ttd] * nf
-                # dof-level expansion (nf^2 combos per node pair)
-                src = (
-                    ((np.int64(kk) * Bn + a_id)[:, None] * nf + f1) * Bf
-                    + b_id[:, None] * nf
-                    + f2
-                ).reshape(-1)
-                dst = (
-                    ((kt * np.asarray(Fn)[ttd] + ss_i)[:, None] * nf + f1)
-                    * Ft[:, None]
-                    + ss_j[:, None] * nf
-                    + f2
-                ).reshape(-1)
-                srcs.append(src)
-                dsts.append(dst)
-                tgts.append(np.repeat(ttd, nf * nf))
-            if srcs:
-                self.ea_src.append(np.concatenate(srcs))
-                self.ea_dst.append(np.concatenate(dsts))
-                self.ea_tgt.append(np.concatenate(tgts))
-            else:
+            ids = [i for i in self.by_depth[d] if len(self.fronts[i].bd)]
+            if not ids:
                 self.ea_src.append(np.empty(0, np.int64))
                 self.ea_dst.append(np.empty(0, np.int64))
                 self.ea_tgt.append(np.empty(0, np.int64))
+                continue
+            # vectorized over ALL fronts of the group (the per-front
+            # python loop was 23s of a 30s L=8 symbolic build)
+            Bi = np.asarray([len(self.fronts[i].bd) for i in ids])
+            kk_f = self.local_id[np.asarray(ids)]
+            bd_cat = np.concatenate([self.fronts[i].bd for i in ids])
+            offs = np.concatenate([[0], np.cumsum(Bi)])[:-1]
+            P = Bi * Bi
+            pair_front = np.repeat(np.arange(len(ids)), P)
+            pos = np.arange(int(P.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(P)])[:-1], P
+            )
+            Bi_p = Bi[pair_front]
+            a_id = pos // Bi_p
+            b_id = pos % Bi_p
+            ua = bd_cat[offs[pair_front] + a_id]
+            ub = bd_cat[offs[pair_front] + b_id]
+            oa, ob = owner[ua], owner[ub]
+            tt = np.where(depth_of[oa] >= depth_of[ob], oa, ob)
+            ss_i = self._slots(tt, ua)
+            ss_j = self._slots(tt, ub)
+            ttd = group_of[tt]
+            kt = self.local_id[tt]
+            Fnt = Fn_arr[ttd]
+            Ft = Fnt * nf
+            kk_p = kk_f[pair_front]
+            # dof-level expansion (nf^2 combos per node pair)
+            src = (
+                ((kk_p * np.int64(Bn) + a_id)[:, None] * nf + f1) * Bf
+                + b_id[:, None] * nf
+                + f2
+            ).reshape(-1)
+            dst = (
+                ((kt * Fnt + ss_i)[:, None] * nf + f1) * Ft[:, None]
+                + ss_j[:, None] * nf
+                + f2
+            ).reshape(-1)
+            self.ea_src.append(src)
+            self.ea_dst.append(dst)
+            self.ea_tgt.append(np.repeat(ttd, nf * nf))
 
         # -- flat Schur-buffer layout + extend-add regrouped by TARGET --
         # Children write their (Bn x Bn) Schur pair-blocks once into a
