@@ -849,7 +849,7 @@ class _SolverCtx:
                     contrib, cst["pair_i"], num_segments=m
                 ).reshape(-1)
 
-            def make_direction(fdt, n_cg):
+            def make_direction(fdt, n_cg, return_fac=False):
                 """Newton direction at factor precision `fdt` (None =
                 solver dtype): on-device multifrontal factor + solve +
                 factor-preconditioned CG polish in full precision (the
@@ -948,6 +948,8 @@ class _SolverCtx:
                         ],
                         axis=1,
                     )
+                    if return_fac:
+                        return dvp, fac
                     return dvp
 
                 return direction
@@ -1007,6 +1009,101 @@ class _SolverCtx:
                     make_direction(jnp.float32, n_cg32)
                 )
                 h.update(nd_init32=init32, nd_step32=step32)
+
+            # -- stale-factor reuse programs (_run_level_nd_reuse) -------
+            # hostsolve's measured economics, moved on-device: by self-
+            # concordance consecutive Newton Hessians are spectrally
+            # equivalent, so a stale factor preconditions CG to 1e-9 in
+            # ~4-25 iterations across the whole path (hostsolve module
+            # doc).  At fem2d L=7 the on-device factor is ~500ms while a
+            # solve+matvec is ~25ms (tools/probe_nd_tpu_cost.py), so a
+            # reuse step that converges in <~18 PCG its beats refactoring.
+            # The direction program is dispatched separately from the
+            # post+pre step (two dispatches, still ONE blocking
+            # device_get per Newton iteration), because the host must
+            # see the PCG quality scalars to decide refactor-vs-reuse
+            # before the direction is APPLIED — a discarded direction is
+            # never visible to the path.
+            def step_nodir(Pl, basis_l, rloc, x, w, c, z, t, y, cy, fy0,
+                           gv, dvp, full_ids):
+                z_new, lam2, alpha, dphi = post(
+                    Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy, fy0, gv,
+                    dvp,
+                )
+                vals2, gv2, y2, cy2, fy02 = pre(
+                    Pl, basis_l, x, w, c, z_new, t, full_ids
+                )
+                return z_new, lam2, alpha, dphi, vals2, gv2, y2, cy2, fy02
+
+            rtol_r = self.cg_rtol
+
+            def nd_dir_r(vals, gv, fac, cst, cap):
+                """Newton direction from a STALE factor: PCG on the exact
+                current Hessian (matvec from the deduplicated pair blocks)
+                preconditioned by `fac`, run to the same cg_rtol the host
+                path certifies directions at, with a DYNAMIC trip cap
+                (host policy: ~2x the recent success count, so a doomed
+                attempt near the conditioning floor wastes little).
+                Returns (direction, its, relres); the caller refactors and
+                recomputes whenever relres > cg_rtol, so an accepted
+                direction is exactly as converged as a fresh-factor one."""
+                b = -gv[:, :m].T.reshape(-1)
+                ndc = cst["nd"]
+
+                def apply_fac(r):
+                    return fz.solve(fac, r, ndc).astype(r.dtype)
+
+                bb = jnp.vdot(b, b)
+                tol2 = (rtol_r ** 2) * bb
+                xv = apply_fac(b)
+                r0 = b - matvec(vals, xv, cst)
+                z0 = apply_fac(r0)
+                st0 = (xv, r0, z0, jnp.vdot(r0, z0), jnp.vdot(r0, r0),
+                       jnp.int32(0))
+
+                def cond(st):
+                    _, _, _, _, rr, it = st
+                    return jnp.isfinite(rr) & (rr > tol2) & (it < cap)
+
+                def body(st):
+                    xv, r, p, rz, rr, it = st
+                    Ap = matvec(vals, p, cst)
+                    pAp = jnp.vdot(p, Ap)
+                    ok = (
+                        jnp.isfinite(pAp) & (pAp > 0)
+                        & jnp.isfinite(rz) & (rz > 0)
+                    )
+                    al = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+                    xv = xv + al * p
+                    r = r - al * Ap
+                    zv = apply_fac(r)
+                    rz2 = jnp.vdot(r, zv)
+                    beta = jnp.where(
+                        ok & (rz2 > 0), rz2 / jnp.where(ok, rz, 1.0), 0.0
+                    )
+                    p = jnp.where(ok, zv + beta * p, p)
+                    # CG breakdown (indefinite/NaN): poison rr so cond
+                    # exits and the host sees relres=inf -> refactor
+                    rr2 = jnp.where(ok, jnp.vdot(r, r), jnp.inf)
+                    return xv, r, p, rz2, rr2, it + 1
+
+                xv, _, _, _, rr, it = jax.lax.while_loop(cond, body, st0)
+                rel = jnp.sqrt(jnp.abs(rr) / jnp.maximum(bb, 1e-300))
+                rel = jnp.where(jnp.all(jnp.isfinite(xv)), rel, jnp.inf)
+                dvp = jnp.concatenate(
+                    [xv.reshape(m, nf).T, jnp.zeros((nf, 1), xv.dtype)],
+                    axis=1,
+                )
+                return dvp, it, rel
+
+            h.update(
+                nd_pre=jax.jit(pre),
+                nd_step_nodir=jax.jit(step_nodir),
+                nd_dir_f=jax.jit(
+                    make_direction(None, n_cg, return_fac=True)
+                ),
+                nd_dir_r=jax.jit(nd_dir_r),
+            )
         return h
 
     def _run_level_nd(self, level: int, z, t, theta2: float):
@@ -1014,6 +1111,10 @@ class _SolverCtx:
         program per step (line search + assembly + factor + solve), one
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
+        if os.environ.get(
+            "MGB_ND_REUSE", "0"
+        ) == "1" and float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
+            return self._run_level_nd_reuse(level, z, t, theta2)
         h = self._get_nd(level)
         # Mixed-precision staging (MGB_ND_F32_TMAX > 0): while t <= tmax
         # the factor and triangular sweeps run in float32 and the f64 CG
@@ -1135,6 +1236,156 @@ class _SolverCtx:
             if kg >= self.newton_cap:
                 code = self.CAPPED
                 break
+        tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
+        return z, kg, code, tr_cat
+
+    def _run_level_nd_reuse(self, level: int, z, t, theta2: float):
+        """ND Newton iteration with on-device stale-factor reuse
+        (MGB_ND_REUSE=1): per step, one fused post+pre device program
+        (no factorization) plus one direction program — a fresh
+        multifrontal factor only when the stale-factor PCG fails to
+        certify the direction at cg_rtol.  Economics and honesty notes
+        at the nd_dir_r definition (_get_nd); stop logic mirrors
+        _run_level_nd exactly."""
+        h = self._get_nd(level)
+        pre_j, step = h["nd_pre"], h["nd_step_nodir"]
+        dir_f, dir_r = h["nd_dir_f"], h["nd_dir_r"]
+        full_ids = h["nd_full_ids"]
+        cst = h["nd_consts"]
+        basis = self._bases[level]
+        Pl = self._P[level]
+        rloc = basis.rloc
+        dtype = z.dtype
+        t_arr = jnp.asarray(t, dtype=dtype)
+        eps = float(np.finfo(np.asarray(z).dtype).eps)
+        patience = self.newton_patience
+        # upper bound on consecutive reuse steps (hostsolve's stale_cap):
+        # the PCG tolerance — not this cap — is the correctness gate; the
+        # cap only bounds drift in PCG cost as the factor ages.
+        stale_cap = int(os.environ.get("MGB_ND_STALE_CAP", "40"))
+        cap_max = int(os.environ.get("MGB_ND_REUSE_CAP", "30"))
+        rtol = self.cg_rtol * 1.0001  # sqrt-rounding slack on the gate
+
+        import time as _time
+
+        def _retry(fn, *args):
+            for attempt in range(3):
+                try:
+                    return fn(*args)
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == 2 or not any(
+                        s in str(e) for s in self._RETRYABLE
+                    ):
+                        raise
+                    _time.sleep(10.0 * (attempt + 1))
+
+        tr = {
+            key: []
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel")
+        }
+        code = self.RUNNING
+        kg = 0
+        n_factor = n_reuse = 0
+        t_loop0 = _time.perf_counter()
+        vals, gv, y, cy, fy0 = _retry(
+            pre_j, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+        )
+        dvp, fac = _retry(dir_f, vals, gv, cst)
+        n_factor += 1
+        steps_since = 0
+        # adaptive attempt budget: ~2x the recent success count (so a
+        # doomed attempt near the conditioning floor wastes ~10 cheap
+        # solves, not cap_max); two consecutive failures mean the
+        # Hessian is changing faster than the factor ages — endgame
+        # regime — so reuse is retired for the rest of this run.
+        cap_now = min(cap_max, 14)
+        fail_streak = 0
+        cyf, fy0f = jax.device_get((cy, fy0))
+        while True:
+            (z, lam2_d, alpha_d, dphi_d, vals, gv, y, cy, fy0) = _retry(
+                step, Pl, basis, rloc, self.x, self.w, self.c, z,
+                t_arr, y, cy, fy0, gv, dvp, full_ids,
+            )
+            if steps_since < stale_cap and fail_streak < 2:
+                dvp, its_d, rel_d = _retry(
+                    dir_r, vals, gv, fac, cst, jnp.int32(cap_now)
+                )
+                (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a) = (
+                    jax.device_get(
+                        (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d)
+                    )
+                )
+                cgits, cgrel = float(its_a), float(rel_a)
+                if not (cgrel <= rtol):
+                    # stale factor no longer certifies the direction:
+                    # discard it (never applied) and refactor
+                    dvp, fac = _retry(dir_f, vals, gv, cst)
+                    n_factor += 1
+                    steps_since = 0
+                    fail_streak += 1
+                else:
+                    n_reuse += 1
+                    steps_since += 1
+                    fail_streak = 0
+                    cap_now = min(cap_max, max(8, 2 * int(cgits) + 4))
+            else:
+                dvp, fac = _retry(dir_f, vals, gv, cst)
+                n_factor += 1
+                steps_since = 0
+                (lam2_a, alpha_a, dphi_a, cy_a, fy0_a) = jax.device_get(
+                    (lam2_d, alpha_d, dphi_d, cy, fy0)
+                )
+                cgits, cgrel = 0.0, 0.0
+            lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            if os.environ.get("MGB_ND_HEARTBEAT"):
+                print(
+                    f"# newton L{level} it={kg} lam2={lam2:.3e} "
+                    f"alpha={alpha:.3f} cg={cgits:.0f}/{cgrel:.1e} "
+                    f"wall={_time.time():.1f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            phi0 = float(t) * float(cyf) + float(fy0f)
+            tr["lam2"].append(lam2)
+            tr["alpha"].append(alpha)
+            tr["phi"].append(phi0)
+            tr["dphi"].append(dphi)
+            tr["cy"].append(float(cyf))
+            tr["cgits"].append(cgits)
+            tr["cgrel"].append(cgrel)
+            cyf, fy0f = cy_a, fy0_a
+            l2 = tr["lam2"]
+            stall_quad = (
+                kg >= 5
+                and lam2 <= 0.25
+                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
+            )
+            floor = 64.0 * eps * (abs(phi0) + 1.0)
+            stall_floor = kg >= 2 and max(
+                abs(d) for d in tr["dphi"][-3:]
+            ) <= floor
+            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
+            if not math.isfinite(lam2):
+                code = self.DIVERGED
+            elif alpha == 0.0:
+                code = self.LOCKED
+            elif lam2 <= theta2:
+                code = self.CONVERGED
+            elif stall_quad or stall_floor or patient:
+                code = self.STALLED
+            kg += 1
+            if code != self.RUNNING:
+                break
+            if kg >= self.newton_cap:
+                code = self.CAPPED
+                break
+        if os.environ.get("MGB_HOST_STATS"):
+            print(
+                f"# nd-reuse[level={level}] t={t:.3e} its={kg} "
+                f"factors={n_factor} reused={n_reuse} "
+                f"loop={_time.perf_counter() - t_loop0:.2f}s",
+                file=sys.stderr,
+            )
         tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
         return z, kg, code, tr_cat
 

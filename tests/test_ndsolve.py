@@ -159,6 +159,37 @@ def test_end_to_end_forced_nd():
     assert abs(c_nd - c_h) < 1e-6 * abs(c_h), (c_nd, c_h)
 
 
+def test_end_to_end_forced_nd_reuse():
+    """Stale-factor reuse (MGB_ND_REUSE=1, _run_level_nd_reuse) must give
+    the same converged objective as the factor-every-step ND path: an
+    accepted reuse direction is PCG-certified at cg_rtol, so the paths
+    agree to the solver contract.  (Measured at fem2d L=6: identical
+    c_dot_Dz 15.4183231432 and identical 108 fine its either way.)"""
+    import os
+
+    b = Backend(dtype=jnp.float64, dense_threshold=256)
+    prev = {
+        k: os.environ.get(k) for k in ("MGB_FINE_SOLVER", "MGB_ND_REUSE")
+    }
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        s0 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+        os.environ["MGB_ND_REUSE"] = "1"
+        s1 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    c0 = s0.SOL_main.c_dot_Dz[-1]
+    c1 = s1.SOL_main.c_dot_Dz[-1]
+    assert abs(c1 - c0) < 1e-6 * abs(c0), (c1, c0)
+    # the reuse path must actually have produced PCG-certified
+    # directions somewhere (cgits recorded in the per-level traces)
+    assert s1.SOL_main.its[-1] > 0
+
+
 def test_f32_staging_escape_keeps_solve_exact():
     """MGB_ND_F32_TMAX engages the f32-factor programs; on barrier
     Hessians the f32 Cholesky goes non-finite mid-path (leaf separator
