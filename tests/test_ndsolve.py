@@ -68,15 +68,18 @@ def _grid_problem(G, nf, pad, seed=0):
 
 
 @pytest.mark.parametrize(
-    "nf,pad,leaf,use_inv,splitsum",
-    [(1, False, 4, False, False), (2, True, 4, False, False),
-     (2, True, 4, True, False), (2, True, 16, True, False),
-     (2, True, 4, False, True)],
+    "nf,pad,leaf,use_inv,splitsum,G",
+    [(1, False, 4, False, False, 6), (2, True, 4, False, False, 6),
+     (2, True, 4, True, False, 6), (2, True, 16, True, False, 6),
+     (2, True, 4, False, True, 6),
+     # large-leaf configs (the TPU fewer-depths lever, MGB_ND_LEAF=64):
+     # a 12x12 grid so leaf 64 still produces a real separator tree
+     (2, True, 64, True, False, 12), (2, True, 64, False, False, 12)],
 )
-def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum):
+def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum, G):
     import os
 
-    idx, coords, vals, Ad = _grid_problem(6, nf, pad)
+    idx, coords, vals, Ad = _grid_problem(G, nf, pad)
     sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=leaf)
     prev = os.environ.get("MGB_ND_SPLITSUM")
     try:
