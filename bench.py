@@ -68,7 +68,16 @@ def _run_in_subprocess() -> int:
             env.pop("PALLAS_AXON_POOL_IPS", None)
             env["JAX_PLATFORMS"] = "cpu"
             env["MGB_BENCH_PLATFORM_NOTE"] = "cpu-fallback"
-    for attempt in range(2):
+    def _to_cpu_fallback():
+        """A failed/timed-out tunnel attempt is not retried on the
+        tunnel: remote-compile latency is externally queued (30s-10min
+        per kernel) and a second attempt usually meets the same fate —
+        an honest local-CPU number beats a driver timeout with none."""
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MGB_BENCH_PLATFORM_NOTE"] = "cpu-fallback"
+
+    for attempt in range(3):
         try:
             res = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
@@ -80,9 +89,11 @@ def _run_in_subprocess() -> int:
         except subprocess.TimeoutExpired:
             print(
                 f"# bench attempt {attempt + 1} timed out after {timeout_s:.0f}s; "
-                + ("retrying" if attempt == 0 else "giving up"),
+                + ("retrying" if attempt < 2 else "giving up"),
                 file=sys.stderr,
             )
+            if env.get("PALLAS_AXON_POOL_IPS"):
+                _to_cpu_fallback()
             continue
         out = res.stdout or ""
         line = next(
@@ -93,9 +104,13 @@ def _run_in_subprocess() -> int:
             return 0
         print(
             f"# bench attempt {attempt + 1} failed (rc={res.returncode}); "
-            + ("retrying" if attempt == 0 else "giving up"),
+            + ("retrying" if attempt < 2 else "giving up"),
             file=sys.stderr,
         )
+        if attempt == 1 and env.get("PALLAS_AXON_POOL_IPS"):
+            # two tunnel attempts failed (worker crash loop): final
+            # attempt runs local CPU
+            _to_cpu_fallback()
     return 1
 
 
