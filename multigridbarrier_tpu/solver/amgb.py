@@ -1096,6 +1096,82 @@ class _SolverCtx:
                 )
                 return dvp, it, rel
 
+            def nd_dir_f32(vals, gv, cst, cap):
+                """Newton direction from a FRESH shifted f32 factor:
+                symmetric-Jacobi equilibration (unit diagonal), a small
+                diagonal shift delta (the measured f32-singular leaf
+                separator blocks — min eig 8e-9 < eps32 after
+                equilibration, tools/probe_f32_direction.py — make the
+                UNSHIFTED f32 Cholesky NaN), f32 multifrontal factor at
+                MXU-native rate, then f64 PCG on the exact Hessian
+                certified at cg_rtol.  Unlike MGB_ND_F32_TMAX (f32
+                DIRECT solve, measured-rejected: shallow paths), the
+                shift only perturbs the PRECONDITIONER — the accepted
+                direction solves the true system to the same tolerance
+                as the f64 path, so path honesty is preserved by
+                construction.  Spectral intuition: the shift moves the
+                few sub-eps32 outlier eigenvalues of the equilibrated
+                Hessian to ~delta; CG absorbs isolated outliers in a
+                few extra iterations each (same mechanism as
+                hostsolve's stale-factor CG)."""
+                b = -gv[:, :m].T.reshape(-1)
+                ndc = cst["nd"]
+                dgv = jnp.abs(vals[cst["diag_ids"]])
+                s = jax.lax.rsqrt(jnp.maximum(dgv, 1e-300))
+                snf = jnp.concatenate(
+                    [s.reshape(m, nf), jnp.ones((1, nf), s.dtype)]
+                )
+                ri = snf.T[:, cst["pair_ia"]][:, None, :]
+                cj = snf.T[:, cst["pair_ja"]][None, :, :]
+                vals_f = (vals.reshape(nf, nf, -1) * ri * cj).reshape(-1)
+                delta = float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
+                vals_f = vals_f.at[cst["diag_ids"]].add(delta)
+                fac = fz.factor(vals_f, ndc, dtype=jnp.float32)
+
+                def apply_fac(r):
+                    return s * fz.solve(fac, s * r, ndc).astype(r.dtype)
+
+                bb = jnp.vdot(b, b)
+                tol2 = (rtol_r ** 2) * bb
+                xv = apply_fac(b)
+                r0 = b - matvec(vals, xv, cst)
+                z0 = apply_fac(r0)
+                st0 = (xv, r0, z0, jnp.vdot(r0, z0), jnp.vdot(r0, r0),
+                       jnp.int32(0))
+
+                def cond(st):
+                    _, _, _, _, rr, it = st
+                    return jnp.isfinite(rr) & (rr > tol2) & (it < cap)
+
+                def body(st):
+                    xv, r, p, rz, rr, it = st
+                    Ap = matvec(vals, p, cst)
+                    pAp = jnp.vdot(p, Ap)
+                    ok = (
+                        jnp.isfinite(pAp) & (pAp > 0)
+                        & jnp.isfinite(rz) & (rz > 0)
+                    )
+                    al = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+                    xv = xv + al * p
+                    r = r - al * Ap
+                    zv = apply_fac(r)
+                    rz2 = jnp.vdot(r, zv)
+                    beta = jnp.where(
+                        ok & (rz2 > 0), rz2 / jnp.where(ok, rz, 1.0), 0.0
+                    )
+                    p = jnp.where(ok, zv + beta * p, p)
+                    rr2 = jnp.where(ok, jnp.vdot(r, r), jnp.inf)
+                    return xv, r, p, rz2, rr2, it + 1
+
+                xv, _, _, _, rr, it = jax.lax.while_loop(cond, body, st0)
+                rel = jnp.sqrt(jnp.abs(rr) / jnp.maximum(bb, 1e-300))
+                rel = jnp.where(jnp.all(jnp.isfinite(xv)), rel, jnp.inf)
+                dvp = jnp.concatenate(
+                    [xv.reshape(m, nf).T, jnp.zeros((nf, 1), xv.dtype)],
+                    axis=1,
+                )
+                return dvp, it, rel
+
             h.update(
                 nd_pre=jax.jit(pre),
                 nd_step_nodir=jax.jit(step_nodir),
@@ -1103,6 +1179,7 @@ class _SolverCtx:
                     make_direction(None, n_cg, return_fac=True)
                 ),
                 nd_dir_r=jax.jit(nd_dir_r),
+                nd_dir_f32=jax.jit(nd_dir_f32),
             )
         return h
 
@@ -1111,9 +1188,10 @@ class _SolverCtx:
         program per step (line search + assembly + factor + solve), one
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
-        if os.environ.get(
-            "MGB_ND_REUSE", "0"
-        ) == "1" and float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
+        if (
+            os.environ.get("MGB_ND_REUSE", "0") == "1"
+            or os.environ.get("MGB_ND_F32PC", "0") == "1"
+        ) and float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
             return self._run_level_nd_reuse(level, z, t, theta2)
         h = self._get_nd(level)
         # Mixed-precision staging (MGB_ND_F32_TMAX > 0): while t <= tmax
@@ -1249,7 +1327,14 @@ class _SolverCtx:
         _run_level_nd exactly."""
         h = self._get_nd(level)
         pre_j, step = h["nd_pre"], h["nd_step_nodir"]
-        dir_f, dir_r = h["nd_dir_f"], h["nd_dir_r"]
+        dir_f = h["nd_dir_f"]
+        # cheap-direction provider: fresh shifted-f32 factor (no
+        # staleness; pays an f32 factor per step at MXU rate) beats the
+        # stale-f64 factor when both are available
+        f32pc = os.environ.get("MGB_ND_F32PC", "0") == "1" and (
+            "nd_dir_f32" in h
+        )
+        dir_cheap = h["nd_dir_f32"] if f32pc else h["nd_dir_r"]
         full_ids = h["nd_full_ids"]
         cst = h["nd_consts"]
         basis = self._bases[level]
@@ -1263,7 +1348,9 @@ class _SolverCtx:
         # the PCG tolerance — not this cap — is the correctness gate; the
         # cap only bounds drift in PCG cost as the factor ages.
         stale_cap = int(os.environ.get("MGB_ND_STALE_CAP", "40"))
-        cap_max = int(os.environ.get("MGB_ND_REUSE_CAP", "30"))
+        cap_max = int(
+            os.environ.get("MGB_ND_REUSE_CAP", "60" if f32pc else "30")
+        )
         rtol = self.cg_rtol * 1.0001  # sqrt-rounding slack on the gate
 
         import time as _time
@@ -1298,7 +1385,7 @@ class _SolverCtx:
         # solves, not cap_max); two consecutive failures mean the
         # Hessian is changing faster than the factor ages — endgame
         # regime — so reuse is retired for the rest of this run.
-        cap_now = min(cap_max, 14)
+        cap_now = min(cap_max, 40 if f32pc else 14)
         fail_streak = 0
         cyf, fy0f = jax.device_get((cy, fy0))
         while True:
@@ -1306,10 +1393,15 @@ class _SolverCtx:
                 step, Pl, basis, rloc, self.x, self.w, self.c, z,
                 t_arr, y, cy, fy0, gv, dvp, full_ids,
             )
-            if steps_since < stale_cap and fail_streak < 2:
-                dvp, its_d, rel_d = _retry(
-                    dir_r, vals, gv, fac, cst, jnp.int32(cap_now)
-                )
+            if fail_streak < 2 and (f32pc or steps_since < stale_cap):
+                if f32pc:
+                    dvp, its_d, rel_d = _retry(
+                        dir_cheap, vals, gv, cst, jnp.int32(cap_now)
+                    )
+                else:
+                    dvp, its_d, rel_d = _retry(
+                        dir_cheap, vals, gv, fac, cst, jnp.int32(cap_now)
+                    )
                 (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a) = (
                     jax.device_get(
                         (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d)

@@ -162,22 +162,26 @@ def test_end_to_end_forced_nd():
     assert abs(c_nd - c_h) < 1e-6 * abs(c_h), (c_nd, c_h)
 
 
-def test_end_to_end_forced_nd_reuse():
-    """Stale-factor reuse (MGB_ND_REUSE=1, _run_level_nd_reuse) must give
-    the same converged objective as the factor-every-step ND path: an
-    accepted reuse direction is PCG-certified at cg_rtol, so the paths
-    agree to the solver contract.  (Measured at fem2d L=6: identical
-    c_dot_Dz 15.4183231432 and identical 108 fine its either way.)"""
+@pytest.mark.parametrize("cheap_var", ["MGB_ND_REUSE", "MGB_ND_F32PC"])
+def test_end_to_end_forced_nd_reuse(cheap_var):
+    """Cheap-direction modes (_run_level_nd_reuse) must give the same
+    converged objective as the factor-every-step ND path: an accepted
+    direction is PCG-certified at cg_rtol, so the paths agree to the
+    solver contract.  MGB_ND_REUSE=1 = stale-f64-factor preconditioner;
+    MGB_ND_F32PC=1 = fresh shifted-equilibrated f32 factor (carries the
+    path alone up to t~1e3, certified f64 beyond).  (Measured at fem2d
+    L=6: identical c_dot_Dz 15.4183231432 and identical 108 fine its
+    for both modes.)"""
     import os
 
     b = Backend(dtype=jnp.float64, dense_threshold=256)
     prev = {
-        k: os.environ.get(k) for k in ("MGB_FINE_SOLVER", "MGB_ND_REUSE")
+        k: os.environ.get(k) for k in ("MGB_FINE_SOLVER", cheap_var)
     }
     try:
         os.environ["MGB_FINE_SOLVER"] = "nd"
         s0 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
-        os.environ["MGB_ND_REUSE"] = "1"
+        os.environ[cheap_var] = "1"
         s1 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
     finally:
         for k, v in prev.items():
