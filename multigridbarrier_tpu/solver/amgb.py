@@ -1175,6 +1175,7 @@ class _SolverCtx:
             h.update(
                 nd_pre=jax.jit(pre),
                 nd_step_nodir=jax.jit(step_nodir),
+                nd_dir=jax.jit(make_direction(None, n_cg)),
                 nd_dir_f=jax.jit(
                     make_direction(None, n_cg, return_fac=True)
                 ),
@@ -1183,16 +1184,131 @@ class _SolverCtx:
             )
         return h
 
+    def _run_level_nd_lazy(self, level: int, z, t, theta2: float):
+        """ND Newton iteration with LAZY direction dispatch
+        (MGB_ND_LAZY=1): the fused _run_level_nd program computes the
+        NEXT step's direction unconditionally, so every (level, t) run
+        throws away one full factorization at its stopping iteration.
+        Here the direction program is dispatched only AFTER the host
+        has seen the step's stop scalars — same ONE blocking device_get
+        per Newton iteration, one extra async dispatch, zero wasted
+        factors.  Math identical to _run_level_nd (same pre/post/
+        direction programs, just unfused): fem2d L=6 objective and its
+        are identical.
+
+        MEASURED-REJECTED on CPU (default 0): fem2d L=6 13.2->13.8s,
+        L=7 77->93s — in situ the split executables cost ~95ms/it more
+        than the fused program even though isolated microbenches show
+        split = fused - 19ms (XLA loses cross-phase fusion/buffer reuse
+        at the program boundary), and that swamps the ~13 saved
+        stop-iteration factorizations.  Kept as a TPU A/B flag: there
+        the saved factor is ~2.4s per (level,t) run vs a ~43ms RTT per
+        extra dispatch, a very different trade."""
+        h = self._get_nd(level)
+        pre_j, step, dir_j = h["nd_pre"], h["nd_step_nodir"], h["nd_dir"]
+        full_ids = h["nd_full_ids"]
+        cst = h["nd_consts"]
+        basis = self._bases[level]
+        Pl = self._P[level]
+        rloc = basis.rloc
+        dtype = z.dtype
+        t_arr = jnp.asarray(t, dtype=dtype)
+        eps = float(np.finfo(np.asarray(z).dtype).eps)
+        patience = self.newton_patience
+
+        import time as _time
+
+        def _retry(fn, *args):
+            for attempt in range(3):
+                try:
+                    return fn(*args)
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == 2 or not any(
+                        s in str(e) for s in self._RETRYABLE
+                    ):
+                        raise
+                    _time.sleep(10.0 * (attempt + 1))
+
+        tr = {
+            key: []
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel")
+        }
+        code = self.RUNNING
+        kg = 0
+        vals, gv, y, cy, fy0 = _retry(
+            pre_j, Pl, basis, self.x, self.w, self.c, z, t_arr, full_ids
+        )
+        dvp = _retry(dir_j, vals, gv, cst)
+        cyf, fy0f = jax.device_get((cy, fy0))
+        while True:
+            (z, lam2_d, alpha_d, dphi_d, vals, gv, y, cy, fy0) = _retry(
+                step, Pl, basis, rloc, self.x, self.w, self.c, z,
+                t_arr, y, cy, fy0, gv, dvp, full_ids,
+            )
+            lam2_a, alpha_a, dphi_a, cy_a, fy0_a = jax.device_get(
+                (lam2_d, alpha_d, dphi_d, cy, fy0)
+            )
+            lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            if os.environ.get("MGB_ND_HEARTBEAT"):
+                print(
+                    f"# newton L{level} it={kg} lam2={lam2:.3e} "
+                    f"alpha={alpha:.3f} wall={_time.time():.1f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            phi0 = float(t) * float(cyf) + float(fy0f)
+            tr["lam2"].append(lam2)
+            tr["alpha"].append(alpha)
+            tr["phi"].append(phi0)
+            tr["dphi"].append(dphi)
+            tr["cy"].append(float(cyf))
+            tr["cgits"].append(0.0)
+            tr["cgrel"].append(0.0)
+            cyf, fy0f = cy_a, fy0_a
+            l2 = tr["lam2"]
+            stall_quad = (
+                kg >= 5
+                and lam2 <= 0.25
+                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
+            )
+            floor = 64.0 * eps * (abs(phi0) + 1.0)
+            stall_floor = kg >= 2 and max(
+                abs(d) for d in tr["dphi"][-3:]
+            ) <= floor
+            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
+            if not math.isfinite(lam2):
+                code = self.DIVERGED
+            elif alpha == 0.0:
+                code = self.LOCKED
+            elif lam2 <= theta2:
+                code = self.CONVERGED
+            elif stall_quad or stall_floor or patient:
+                code = self.STALLED
+            kg += 1
+            if code != self.RUNNING:
+                break
+            if kg >= self.newton_cap:
+                code = self.CAPPED
+                break
+            # only reached when another Newton step WILL run: the
+            # direction for it is dispatched now (async; never fetched)
+            dvp = _retry(dir_j, vals, gv, cst)
+        tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
+        return z, kg, code, tr_cat
+
     def _run_level_nd(self, level: int, z, t, theta2: float):
         """Newton iteration with the on-device direct solver: ONE device
         program per step (line search + assembly + factor + solve), one
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
-        if (
-            os.environ.get("MGB_ND_REUSE", "0") == "1"
-            or os.environ.get("MGB_ND_F32PC", "0") == "1"
-        ) and float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
-            return self._run_level_nd_reuse(level, z, t, theta2)
+        if float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
+            if (
+                os.environ.get("MGB_ND_REUSE", "0") == "1"
+                or os.environ.get("MGB_ND_F32PC", "0") == "1"
+            ):
+                return self._run_level_nd_reuse(level, z, t, theta2)
+            if os.environ.get("MGB_ND_LAZY", "0") == "1":
+                return self._run_level_nd_lazy(level, z, t, theta2)
         h = self._get_nd(level)
         # Mixed-precision staging (MGB_ND_F32_TMAX > 0): while t <= tmax
         # the factor and triangular sweeps run in float32 and the f64 CG
