@@ -1096,7 +1096,7 @@ class _SolverCtx:
                 )
                 return dvp, it, rel
 
-            def nd_dir_f32(vals, gv, cst, cap):
+            def nd_dir_f32(vals, gv, cst, cap, delta):
                 """Newton direction from a FRESH shifted f32 factor:
                 symmetric-Jacobi equilibration (unit diagonal), a small
                 diagonal shift delta (the measured f32-singular leaf
@@ -1124,8 +1124,9 @@ class _SolverCtx:
                 ri = snf.T[:, cst["pair_ia"]][:, None, :]
                 cj = snf.T[:, cst["pair_ja"]][None, :, :]
                 vals_f = (vals.reshape(nf, nf, -1) * ri * cj).reshape(-1)
-                delta = float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
-                vals_f = vals_f.at[cst["diag_ids"]].add(delta)
+                vals_f = vals_f.at[cst["diag_ids"]].add(
+                    jnp.asarray(delta, vals_f.dtype)
+                )
                 fac = fz.factor(vals_f, ndc, dtype=jnp.float32)
 
                 def apply_fac(r):
@@ -1501,18 +1502,37 @@ class _SolverCtx:
         # solves, not cap_max); two consecutive failures mean the
         # Hessian is changing faster than the factor ages — endgame
         # regime — so reuse is retired for the rest of this run.
+        # For f32pc, retirement is softened to an exponential-backoff
+        # cooldown (MGB_ND_F32PC_COOLDOWN, 0 = permanent like before):
+        # on hardware where an f64 factor costs many times an f32 one
+        # (TPU: f64 is software-emulated, f32 runs on the MXU), a
+        # periodic cheap retry that usually fails still pays for itself
+        # the first time the path re-enters f32pc-certifiable territory.
         cap_now = min(cap_max, 40 if f32pc else 14)
         fail_streak = 0
+        cd0 = int(os.environ.get("MGB_ND_F32PC_COOLDOWN", "8"))
+        cd_max = 64
+        cooldown, cooldown_left = cd0, 0
+        delta_pc = jnp.float32(
+            float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
+        )
         cyf, fy0f = jax.device_get((cy, fy0))
         while True:
             (z, lam2_d, alpha_d, dphi_d, vals, gv, y, cy, fy0) = _retry(
                 step, Pl, basis, rloc, self.x, self.w, self.c, z,
                 t_arr, y, cy, fy0, gv, dvp, full_ids,
             )
-            if fail_streak < 2 and (f32pc or steps_since < stale_cap):
+            if f32pc and fail_streak >= 2 and cd0 > 0 and cooldown_left == 0:
+                # cooled down: grant one retry attempt
+                fail_streak = 1
+            try_cheap = fail_streak < 2 and (f32pc or steps_since < stale_cap)
+            if not try_cheap and cooldown_left > 0:
+                cooldown_left -= 1
+            if try_cheap:
                 if f32pc:
                     dvp, its_d, rel_d = _retry(
-                        dir_cheap, vals, gv, cst, jnp.int32(cap_now)
+                        dir_cheap, vals, gv, cst, jnp.int32(cap_now),
+                        delta_pc,
                     )
                 else:
                     dvp, its_d, rel_d = _retry(
@@ -1531,10 +1551,16 @@ class _SolverCtx:
                     n_factor += 1
                     steps_since = 0
                     fail_streak += 1
+                    if fail_streak >= 2:
+                        # enter (or extend, with exponential backoff) the
+                        # cheap-path cooldown window
+                        cooldown_left = cooldown
+                        cooldown = min(2 * cooldown, cd_max)
                 else:
                     n_reuse += 1
                     steps_since += 1
                     fail_streak = 0
+                    cooldown = cd0
                     cap_now = min(cap_max, max(8, 2 * int(cgits) + 4))
             else:
                 dvp, fac = _retry(dir_f, vals, gv, cst)
