@@ -505,7 +505,11 @@ class NDSymbolic:
 # ---------------------------------------------------------------------------
 
 
-def _tri_inv_blocked(Ls, base: int = 32):
+def _mm_native(A, B):
+    return A @ B
+
+
+def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native):
     """Explicit inverse of batched lower-triangular (n_d, s, s) matrices
     by block doubling: invert base-size diagonal blocks once (one small
     batched substitution), then combine upward with batched matmuls —
@@ -552,9 +556,7 @@ def _tri_inv_blocked(Ls, base: int = 32):
         C = jnp.swapaxes(Lv[:, i2, 1, :, i2, 0, :], 0, 1)  # (n_d,nb2,b,b)
         Ai = blocks[:, 0::2]
         Bi = blocks[:, 1::2]
-        X = -jnp.einsum(
-            "kpab,kpbc->kpac", Bi, jnp.einsum("kpab,kpbc->kpac", C, Ai)
-        )
+        X = -mm(Bi, mm(C, Ai))
         top = jnp.concatenate([Ai, jnp.zeros_like(X)], axis=-1)
         bot = jnp.concatenate([X, Bi], axis=-1)
         blocks = jnp.concatenate([top, bot], axis=-2)
@@ -562,7 +564,7 @@ def _tri_inv_blocked(Ls, base: int = 32):
     return blocks[:, 0, :s, :s]
 
 
-def _chol_blocked(Af, base: int = 32):
+def _chol_blocked(Af, base: int = 32, mm=_mm_native):
     """Batched Cholesky of (n_d, s, s) SPD matrices by right-looking
     panel factorization: per panel one small batched Cholesky + one
     small batched substitution + two batched matmuls (MXU-dominant,
@@ -593,9 +595,9 @@ def _chol_blocked(Af, base: int = 32):
                 Ljj, eye_b[None] * jnp.ones((n_d, 1, 1), dtype), lower=True
             )
             R = X[:, base:, :base]
-            Lj = jnp.einsum("krb,kcb->krc", R, Linv)
+            Lj = mm(R, jnp.swapaxes(Linv, -1, -2))
             parts.append(Lj)
-            X = X[:, base:, base:] - jnp.einsum("kra,kca->krc", Lj, Lj)
+            X = X[:, base:, base:] - mm(Lj, jnp.swapaxes(Lj, -1, -2))
         cols.append(jnp.concatenate(parts, axis=1))
     L = jnp.concatenate(cols, axis=2)
     return L[:, :s, :s]
@@ -642,6 +644,10 @@ class NDFactorizer:
         # fuse the Schur gather into the scatter instead of
         # materializing the concat buffer)
         self.split_sum = os.environ.get("MGB_ND_SPLITSUM", "0") == "1"
+        # f64 matmul engine for the factor's cubic work: 'native' = XLA
+        # dot (software-emulated f64 on TPU), 'ozaki' = error-free-split
+        # bf16 MXU passes at full f64-rounding quality (runtime/ozmm.py)
+        self.mm_mode = os.environ.get("MGB_ND_MM", "native")
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -707,6 +713,12 @@ class NDFactorizer:
         sym = self.sym
         nf = sym.nf
         dtype = self.dtype if dtype is None else dtype
+        if self.mm_mode == "ozaki" and dtype == jnp.float64:
+            from ..runtime import ozmm
+
+            mm = ozmm.matmul
+        else:
+            mm = _mm_native
         vflat = vals.astype(dtype)  # flat (f1*nf+f2)*nuniq + pid layout
         Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
         # children's Schur complements (dense, field-interleaved),
@@ -756,12 +768,12 @@ class NDFactorizer:
                 )
             fronts = blocks.reshape(n_d, F, F)
             if self.chol == "blocked" and s > 32:
-                Ls = _chol_blocked(fronts[:, :s, :s])
+                Ls = _chol_blocked(fronts[:, :s, :s], mm=mm)
             else:
                 Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             if self.use_inv:
                 if self.tri_inv == "blocked" and s > 32:
-                    Lk = _tri_inv_blocked(Ls)
+                    Lk = _tri_inv_blocked(Ls, mm=mm)
                 else:
                     ar = jnp.arange(s)
                     eye = (ar[:, None] == ar[None, :]).astype(dtype)
@@ -770,7 +782,7 @@ class NDFactorizer:
                         eye[None] * jnp.ones((n_d, 1, 1), dtype),
                         lower=True,
                     )
-                Lsb = Lk @ fronts[:, :s, s:]
+                Lsb = mm(Lk, fronts[:, :s, s:])
             else:
                 Lk = Ls
                 Lsb = jax.scipy.linalg.solve_triangular(
@@ -778,8 +790,8 @@ class NDFactorizer:
                 )
             out.append((Lk, Lsb))
             if sym.b_pad[d]:
-                schur = fronts[:, s:, s:] - jnp.einsum(
-                    "kab,kac->kbc", Lsb, Lsb
+                schur = fronts[:, s:, s:] - mm(
+                    jnp.swapaxes(Lsb, -1, -2), Lsb
                 )
                 sb_flat = jax.lax.dynamic_update_slice(
                     sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
