@@ -60,9 +60,16 @@ M32 = M64.astype(jnp.float32)
 mmj = jax.jit(lambda a, b: a @ b)
 t64 = timed("matmul f64 (16,512,512)^2", mmj, M64, M64)
 t32 = timed("matmul f32 (16,512,512)^2", mmj, M32, M32)
+Mbf = M64.astype(jnp.bfloat16)
+tbf = timed("matmul bf16 (16,512,512)^2", mmj, Mbf, Mbf)
+from multigridbarrier_tpu.runtime import ozmm
+
+ozj = jax.jit(ozmm.matmul)
+toz = timed("matmul ozaki-f64 (16,512,512)^2", ozj, M64, M64)
 gf = 2 * 16 * 512**3 / 1e9
 print(f"  => f64 {gf/t64:.1f} GF/s, f32 {gf/t32:.1f} GF/s, "
-      f"ratio {t64/t32:.1f}x")
+      f"bf16 {gf/tbf:.1f} GF/s, ozaki {gf/toz:.2f} GF/s (eff), "
+      f"f64/f32 {t64/t32:.1f}x, f64/ozaki {t64/toz:.2f}x")
 
 # -- real solver programs at the fine level: pre (assembly), nd_init
 # (pre + factor + solve), nd_step (line search + pre + factor + solve).
@@ -118,6 +125,19 @@ solve_j = jax.jit(lambda f, b, c: fz.solve(f, b, c))
 
 timed("factor (use_inv)", factor_j, vals_j, cst)
 timed("solve", solve_j, fac, b, cst)
+
+if os.environ.get("MGB_PROBE_OZAKI", "0") == "1":
+    os.environ["MGB_ND_MM"] = "ozaki"
+    fz_oz = NDFactorizer(sym, use_inv=True)
+    factor_oz = jax.jit(lambda v, c: fz_oz.factor(v, c))
+    fac_oz = factor_oz(vals_j, cst)
+    timed("factor (use_inv, ozaki mm)", factor_oz, vals_j, cst)
+    # accuracy cross-check vs the native-f64 factor's solve
+    x_nat = np.asarray(solve_j(fac, b, cst))
+    x_oz = np.asarray(solve_j(fac_oz, b, cst))
+    rel = np.linalg.norm(x_oz - x_nat) / np.linalg.norm(x_nat)
+    print(f"  ozaki-vs-native solve rel diff {rel:.2e}")
+    os.environ["MGB_ND_MM"] = "native"
 
 if os.environ.get("MGB_PROBE_SUB", "0") == "1":
     fz_sub = NDFactorizer(sym, use_inv=False)
