@@ -52,6 +52,32 @@ def test_ozmm_zero_rows_and_dynamic_range():
     assert err < 5e-15, err
 
 
+def test_blocked_factor_kernels_with_ozaki_mm():
+    """The composition the TPU factor runs: panel-blocked Cholesky and
+    block-doubling triangular inverse with every matmul routed through
+    the ozaki engine must match the native-f64 kernels to ~1e-12."""
+    from multigridbarrier_tpu.solver.ndsolve import (
+        _chol_blocked,
+        _tri_inv_blocked,
+    )
+
+    rng = np.random.default_rng(17)
+    for n_d, s in [(3, 40), (1, 130)]:
+        B = rng.standard_normal((n_d, s, s))
+        A = B @ np.swapaxes(B, -1, -2) + s * np.eye(s)[None]
+        L_ref = np.linalg.cholesky(A)
+        L_b = np.asarray(_chol_blocked(jnp.asarray(A), mm=ozmm.matmul))
+        rel = np.linalg.norm(L_b - L_ref, axis=(1, 2)) / np.linalg.norm(
+            L_ref, axis=(1, 2)
+        )
+        assert rel.max() < 1e-12, (s, rel.max())
+        Li = np.asarray(
+            _tri_inv_blocked(jnp.asarray(L_ref), mm=ozmm.matmul)
+        )
+        err = np.linalg.norm(Li @ L_ref - np.eye(s)[None], axis=(1, 2))
+        assert err.max() < 1e-10, (s, err.max())
+
+
 def test_ozmm_nt_form():
     rng = np.random.default_rng(11)
     A = rng.standard_normal((3, 24, 40))

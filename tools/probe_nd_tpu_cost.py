@@ -107,10 +107,22 @@ fz = NDFactorizer(sym, use_inv=True)
 cst = fz.consts()
 print(f"L={L} m={m} maxd={sym.maxd} groups={sym.ngroups} backend={jax.default_backend()}")
 
-# representative vals: assemble identity-dominant SPD system
+# representative vals: assemble identity-dominant SPD system.  Must be
+# SYMMETRIC (vals[f1,f2,pid(i,j)] == vals[f2,f1,pid(j,i)]) like a real
+# barrier Hessian: cholesky variants read different triangles of the
+# assembled fronts, so an asymmetric test matrix makes their outputs
+# incomparable (bit us once: blocked-vs-xla "error" of 8e-4 that
+# vanished on symmetric input).
 rng = np.random.default_rng(0)
 nuniq = sym.nuniq
-vals = rng.standard_normal(nf * nf * nuniq) * 0.01
+vals = rng.standard_normal((nf, nf, nuniq)) * 0.01
+keys = sym.pair_i_all.astype(np.int64) * (sym.m + 1) + sym.pair_j_all
+tkeys = sym.pair_j_all.astype(np.int64) * (sym.m + 1) + sym.pair_i_all
+perm = np.searchsorted(keys, tkeys)
+perm = np.minimum(perm, nuniq - 1)
+has_t = keys[perm] == tkeys
+vals_t = np.where(has_t[None, None, :], vals.transpose(1, 0, 2)[:, :, perm], vals)
+vals = (0.5 * (vals + vals_t)).reshape(-1)
 diag_ids = (
     (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :] * nuniq
     + sym.diag_pid[:, None]
@@ -127,17 +139,27 @@ timed("factor (use_inv)", factor_j, vals_j, cst)
 timed("solve", solve_j, fac, b, cst)
 
 if os.environ.get("MGB_PROBE_OZAKI", "0") == "1":
-    os.environ["MGB_ND_MM"] = "ozaki"
-    fz_oz = NDFactorizer(sym, use_inv=True)
-    factor_oz = jax.jit(lambda v, c: fz_oz.factor(v, c))
-    fac_oz = factor_oz(vals_j, cst)
-    timed("factor (use_inv, ozaki mm)", factor_oz, vals_j, cst)
-    # accuracy cross-check vs the native-f64 factor's solve
+    # 2x2 sweep: mm engine x cholesky engine.  On TPU the native f64
+    # batched Cholesky is software-emulated AND sequential, so ozaki
+    # matmuls only pay off if the chol panels go blocked too.
     x_nat = np.asarray(solve_j(fac, b, cst))
-    x_oz = np.asarray(solve_j(fac_oz, b, cst))
-    rel = np.linalg.norm(x_oz - x_nat) / np.linalg.norm(x_nat)
-    print(f"  ozaki-vs-native solve rel diff {rel:.2e}")
+    for mm_mode, chol_mode in [
+        ("native", "blocked"),
+        ("ozaki", "xla"),
+        ("ozaki", "blocked"),
+    ]:
+        os.environ["MGB_ND_MM"] = mm_mode
+        os.environ["MGB_ND_CHOL"] = chol_mode
+        fz_v = NDFactorizer(sym, use_inv=True)
+        factor_v = jax.jit(lambda v, c: fz_v.factor(v, c))
+        fac_v = factor_v(vals_j, cst)
+        timed(f"factor (use_inv, mm={mm_mode}, chol={chol_mode})",
+              factor_v, vals_j, cst)
+        x_v = np.asarray(solve_j(fac_v, b, cst))
+        rel = np.linalg.norm(x_v - x_nat) / np.linalg.norm(x_nat)
+        print(f"  vs native solve rel diff {rel:.2e}")
     os.environ["MGB_ND_MM"] = "native"
+    os.environ.pop("MGB_ND_CHOL", None)
 
 if os.environ.get("MGB_PROBE_SUB", "0") == "1":
     fz_sub = NDFactorizer(sym, use_inv=False)
