@@ -169,6 +169,78 @@ if os.environ.get("MGB_PROBE_SUB", "0") == "1":
     timed("factor (substitution)", factor_s, vals_j, cst)
     timed("solve (substitution)", solve_s, fac_s, b, cst)
 
+if os.environ.get("MGB_PROBE_STAGES", "0") == "1":
+    # Stage attribution of the production factor: time truncated factor
+    # programs (assembly only / +chol / +trisolve / full) and report the
+    # deltas.  sb_flat is a runtime ARGUMENT in the truncated programs so
+    # XLA cannot constant-fold the extend-add gathers of an all-zero
+    # buffer away; later-group fronts therefore assemble without child
+    # Schur data, which changes values but not memory traffic or shapes.
+    fzs = NDFactorizer(sym, use_inv=False)
+    Fn_ = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
+    n_asm = sum(int(c.shape[0]) for c in cst["asm_pid"])
+    n_ea = sum(int(c.shape[0]) for c in cst["ea_tsrc"])
+    n_front = sum(
+        len(sym.by_depth[d]) * (Fn_[d] * nf) ** 2 for d in range(sym.ngroups)
+    )
+    print(
+        f"\nstage attribution: asm entries {n_asm/1e6:.2f}M, extend-add "
+        f"{n_ea/1e6:.2f}M, padded front slots {n_front/1e6:.2f}M, "
+        f"sb buffer {int(sym.sb_off[-1])/1e6:.2f}M"
+    )
+
+    def _stage(upto):
+        def run(v, c, sb0):
+            vflat = v.astype(fzs.dtype)
+            sb_flat = sb0
+            acc = jnp.zeros((), fzs.dtype)
+            for d in range(sym.ngroups - 1, -1, -1):
+                n_d = len(sym.by_depth[d])
+                F = Fn_[d] * nf
+                s = sym.s_pad[d] * nf
+                data = vflat[c["asm_pid"][d]]
+                npad = len(sym.pad_ids[d])
+                parts = [data]
+                if c["ea_tsrc"][d].shape[0]:
+                    parts.append(sb_flat[c["ea_tsrc"][d]])
+                if npad:
+                    parts.append(jnp.ones(npad, fzs.dtype))
+                blocks = jax.ops.segment_sum(
+                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
+                    c["asm_dst"][d],
+                    num_segments=n_d * F * F,
+                )
+                fronts = blocks.reshape(n_d, F, F)
+                if upto == "asm":
+                    acc = acc + fronts[:, 0, 0].sum()
+                    continue
+                Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
+                if upto == "chol":
+                    acc = acc + Ls[:, 0, 0].sum()
+                    continue
+                Lsb = jax.scipy.linalg.solve_triangular(
+                    Ls, fronts[:, :s, s:], lower=True
+                )
+                if upto == "tri":
+                    acc = acc + Lsb[:, 0, 0].sum()
+                    continue
+                if sym.b_pad[d]:
+                    schur = fronts[:, s:, s:] - jnp.swapaxes(Lsb, -1, -2) @ Lsb
+                    sb_flat = jax.lax.dynamic_update_slice(
+                        sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
+                    )
+                    acc = acc + schur[:, 0, 0].sum()
+            return acc, sb_flat
+
+        return jax.jit(run)
+
+    sb0 = jnp.zeros(int(sym.sb_off[-1]), fzs.dtype)
+    t_prev = 0.0
+    for upto in ("asm", "chol", "tri", "full"):
+        t_u = timed(f"factor stages upto={upto}", _stage(upto), vals_j, cst, sb0)
+        print(f"    delta {upto}: {1e3*(t_u - t_prev):8.2f} ms")
+        t_prev = t_u
+
 if os.environ.get("MGB_PROBE_DEPTH", "0") != "1":
     sys.exit(0)  # per-depth section: ~33 remote compiles, opt-in
 
