@@ -56,9 +56,16 @@ def _split(A, nslice: int, axis: int):
     amax = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
     # scale = 2^(floor(log2(amax)) + 2) so |A/scale| <= 1/2: the first
     # rounded digit then obeys the same 2^(d-1) bound as the rest.
-    # frexp returns amax = m * 2^e with m in [0.5, 1) -> floor(log2)+1 = e.
-    _, e = jnp.frexp(amax)
-    scale = jnp.where(amax > 0, jnp.exp2((e + 1).astype(A.dtype)), 1.0)
+    # NOTE: jnp.frexp lowers to an s64 bitcast-convert that XLA:TPU's
+    # x64-rewriting pass cannot handle (HTTP-500 from the remote compile
+    # service), so the exponent is extracted arithmetically.  log2 may
+    # round either way at exact powers of two; the subsequent fix-up
+    # comparison is exact (division by a power of two), making the
+    # |A/scale| <= 1/2 invariant independent of log2 rounding.
+    e = jnp.floor(jnp.log2(jnp.where(amax > 0, amax, 1.0)))
+    scale = jnp.exp2(e + 2.0)
+    scale = jnp.where(amax / scale > 0.5, 2.0 * scale, scale)
+    scale = jnp.where(amax > 0, scale, 1.0)
     r = A / scale
     digits = []
     for _ in range(nslice):
