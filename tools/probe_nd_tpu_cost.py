@@ -33,14 +33,39 @@ L = int(sys.argv[1]) if len(sys.argv) > 1 else 7
 
 
 def timed(label, fn, *args, n=3):
-    fn(*args)  # compile
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
+    """Per-call wall time, min of n, each call synced individually.
+
+    Through the axon tunnel, batching dispatches and blocking once on
+    the last result under-reports wildly (the client appears to reuse
+    ready buffers for repeated identical dispatches: measured 0.02ms
+    for a matmul whose true chained cost is 9.4ms).  Per-call
+    block_until_ready measures device + ~30ms dispatch RTT — fine for
+    the production programs (100ms-seconds); use chained_rate for
+    sub-RTT primitives.
+    """
+    out = fn(*args)  # compile
     jax.block_until_ready(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    allts = " ".join(f"{t*1e3:.1f}" for t in ts)
+    print(f"{label:46s} {dt*1e3:9.2f} ms   [{allts}]")
+    return dt
+
+
+def chained_rate(label, op, x0, n=50):
+    """Amortize dispatch RTT: n dependent applications of op inside one
+    jitted fori_loop; returns per-application seconds."""
+    f = jax.jit(lambda a: jax.lax.fori_loop(
+        0, n, lambda i, a: op(a), a))
+    jax.block_until_ready(f(x0))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(x0))
     dt = (time.perf_counter() - t0) / n
-    print(f"{label:46s} {dt*1e3:9.2f} ms")
+    print(f"{label:46s} {dt*1e3:9.3f} ms/app (chained x{n})")
     return dt
 
 
@@ -55,17 +80,16 @@ level = ctx.levels - 1
 # flop-bound under f64 emulation (padded factor ~2.4 GF at L=7) or
 # op-latency bound.
 rng0 = np.random.default_rng(7)
-M64 = jnp.asarray(rng0.standard_normal((16, 512, 512)))
+M64 = jnp.asarray(rng0.standard_normal((16, 512, 512)) * 0.05)
 M32 = M64.astype(jnp.float32)
-mmj = jax.jit(lambda a, b: a @ b)
-t64 = timed("matmul f64 (16,512,512)^2", mmj, M64, M64)
-t32 = timed("matmul f32 (16,512,512)^2", mmj, M32, M32)
+t64 = chained_rate("matmul f64 (16,512,512)^2", lambda a: 0.99 * (a @ M64), M64)
+t32 = chained_rate("matmul f32 (16,512,512)^2", lambda a: 0.99 * (a @ M32), M32)
 Mbf = M64.astype(jnp.bfloat16)
-tbf = timed("matmul bf16 (16,512,512)^2", mmj, Mbf, Mbf)
+tbf = chained_rate("matmul bf16 (16,512,512)^2", lambda a: (a @ Mbf), Mbf, n=50)
 from multigridbarrier_tpu.runtime import ozmm
 
-ozj = jax.jit(ozmm.matmul)
-toz = timed("matmul ozaki-f64 (16,512,512)^2", ozj, M64, M64)
+toz = chained_rate("matmul ozaki-f64 (16,512,512)^2",
+                   lambda a: 0.99 * ozmm.matmul(a, M64), M64, n=10)
 gf = 2 * 16 * 512**3 / 1e9
 print(f"  => f64 {gf/t64:.1f} GF/s, f32 {gf/t32:.1f} GF/s, "
       f"bf16 {gf/tbf:.1f} GF/s, ozaki {gf/toz:.2f} GF/s (eff), "
@@ -222,14 +246,14 @@ if os.environ.get("MGB_PROBE_STAGES", "0") == "1":
                     Ls, fronts[:, :s, s:], lower=True
                 )
                 if upto == "tri":
-                    acc = acc + Lsb[:, 0, 0].sum()
+                    acc = acc + Lsb.sum()
                     continue
                 if sym.b_pad[d]:
                     schur = fronts[:, s:, s:] - jnp.swapaxes(Lsb, -1, -2) @ Lsb
                     sb_flat = jax.lax.dynamic_update_slice(
                         sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
                     )
-                    acc = acc + schur[:, 0, 0].sum()
+                    acc = acc + schur.sum()
             return acc, sb_flat
 
         return jax.jit(run)
