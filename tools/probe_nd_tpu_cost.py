@@ -79,21 +79,28 @@ level = ctx.levels - 1
 # -- f64 vs f32 matmul rate: decides whether the ND factor is
 # flop-bound under f64 emulation (padded factor ~2.4 GF at L=7) or
 # op-latency bound.
-rng0 = np.random.default_rng(7)
-M64 = jnp.asarray(rng0.standard_normal((16, 512, 512)) * 0.05)
-M32 = M64.astype(jnp.float32)
-t64 = chained_rate("matmul f64 (16,512,512)^2", lambda a: 0.99 * (a @ M64), M64)
-t32 = chained_rate("matmul f32 (16,512,512)^2", lambda a: 0.99 * (a @ M32), M32)
-Mbf = M64.astype(jnp.bfloat16)
-tbf = chained_rate("matmul bf16 (16,512,512)^2", lambda a: (a @ Mbf), Mbf, n=50)
-from multigridbarrier_tpu.runtime import ozmm
+import os as _os
 
-toz = chained_rate("matmul ozaki-f64 (16,512,512)^2",
-                   lambda a: 0.99 * ozmm.matmul(a, M64), M64, n=10)
-gf = 2 * 16 * 512**3 / 1e9
-print(f"  => f64 {gf/t64:.1f} GF/s, f32 {gf/t32:.1f} GF/s, "
-      f"bf16 {gf/tbf:.1f} GF/s, ozaki {gf/toz:.2f} GF/s (eff), "
-      f"f64/f32 {t64/t32:.1f}x, f64/ozaki {t64/toz:.2f}x")
+if _os.environ.get("MGB_PROBE_MM", "1") == "1":
+    # Measured once on the v5e tunnel (2026-08-19, chained fori_loop,
+    # (16,512,512) 4.29 GF matmuls): f64 9.4ms = 457 GF/s, f32 0.64ms =
+    # 6.7 TF/s, bf16 0.57ms = 7.5 TF/s.  Skip with MGB_PROBE_MM=0 when
+    # the compile queue is slow — the rates are stable device facts.
+    rng0 = np.random.default_rng(7)
+    M64 = jnp.asarray(rng0.standard_normal((16, 512, 512)) * 0.05)
+    M32 = M64.astype(jnp.float32)
+    t64 = chained_rate("matmul f64 (16,512,512)^2", lambda a: 0.99 * (a @ M64), M64)
+    t32 = chained_rate("matmul f32 (16,512,512)^2", lambda a: 0.99 * (a @ M32), M32)
+    Mbf = M64.astype(jnp.bfloat16)
+    tbf = chained_rate("matmul bf16 (16,512,512)^2", lambda a: (a @ Mbf), Mbf, n=50)
+    from multigridbarrier_tpu.runtime import ozmm
+
+    toz = chained_rate("matmul ozaki-f64 (16,512,512)^2",
+                       lambda a: 0.99 * ozmm.matmul(a, M64), M64, n=10)
+    gf = 2 * 16 * 512**3 / 1e9
+    print(f"  => f64 {gf/t64:.1f} GF/s, f32 {gf/t32:.1f} GF/s, "
+          f"bf16 {gf/tbf:.1f} GF/s, ozaki {gf/toz:.2f} GF/s (eff), "
+          f"f64/f32 {t64/t32:.1f}x, f64/ozaki {t64/toz:.2f}x")
 
 # -- real solver programs at the fine level: pre (assembly), nd_init
 # (pre + factor + solve), nd_step (line search + pre + factor + solve).
