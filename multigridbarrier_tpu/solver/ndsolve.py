@@ -467,6 +467,54 @@ class NDSymbolic:
             np.concatenate(s) if s else np.empty(0, np.int64) for s in tdst
         ]
 
+        # -- relay extend-add (MGB_ND_EA=relay): child Schur -> PARENT
+        # front (classic multifrontal relay; exact-arithmetic-identical
+        # to the direct fan-in by extend-add associativity).  On TPU the
+        # fan-in's flat gather+scatter costs ~1.2s/factor at fem2d L=7
+        # (8.99M random f64 elements through the scatter sorter); the
+        # relay replaces it with per-group batch gathers + one-hot
+        # selection matmuls (MXU) + a block-granular segment_sum over
+        # ~2 children per parent.  bd(child) ⊆ sep(parent) ∪ bd(parent)
+        # by construction (bd sets propagate through sub_up), so the
+        # parent front always has slots for every child Schur entry.
+        # relay_in[gp] = [(gc, cidx, pkk, rowmap_dof)]: child fronts
+        # cidx (local ids in group gc, sorted by parent), their parents'
+        # local ids pkk in gp, and rowmap_dof (nc, Fn[gp]*nf) mapping
+        # parent dof-slot -> child Schur dof-row (Bf = padded zero row).
+        self.relay_in: List[List] = [[] for _ in range(ng)]
+        for gc in range(ng):
+            Bn = self.b_pad[gc]
+            if Bn == 0:
+                continue
+            by_pg: dict = {}
+            for k, i in enumerate(self.by_depth[gc]):
+                p = int(self.parent[i])
+                if p < 0 or len(self.fronts[i].bd) == 0:
+                    continue
+                by_pg.setdefault(int(group_of[p]), []).append((k, i, p))
+            Bf = Bn * nf
+            for gp, lst in sorted(by_pg.items()):
+                lst.sort(key=lambda kip: self.local_id[kip[2]])
+                cidx = np.asarray([k for k, i, p in lst], np.int64)
+                pkk = np.asarray(
+                    [self.local_id[p] for k, i, p in lst], np.int64
+                )
+                Fp = Fn[gp]
+                rowmap = np.full((len(lst), Fp), -1, np.int64)
+                for r_, (k, i, p) in enumerate(lst):
+                    bd = self.fronts[i].bd
+                    sl = self._slots(np.full(len(bd), p, np.int64), bd)
+                    rowmap[r_, sl] = np.arange(len(bd), dtype=np.int64)
+                # dof-level: parent dof slot -> child Schur dof row;
+                # unmapped slots -> Bf (the padded zero row)
+                rdof = np.where(
+                    rowmap[:, :, None] < 0,
+                    np.int64(Bf),
+                    rowmap[:, :, None] * nf
+                    + np.arange(nf, dtype=np.int64)[None, None, :],
+                ).reshape(len(lst), Fp * nf)
+                self.relay_in[gp].append((gc, cidx, pkk, rdof))
+
     def _build_solve_maps(self):
         """Gather/scatter dof maps for the two triangular sweeps.
 
@@ -652,6 +700,21 @@ class NDFactorizer:
         # far beyond the f32 floor that broke MGB_ND_F32_TMAX.
         self.mm_mode = os.environ.get("MGB_ND_MM", "native")
         self.mm_slices = int(os.environ.get("MGB_ND_MM_SLICES", "8"))
+        # extend-add structure: 'fanin' = flat Schur buffer + one
+        # combined segment_sum per group (deepest-owner targets);
+        # 'relay' = classic multifrontal relay through the parent as
+        # batch gathers + selection contractions (see NDSymbolic
+        # relay_in).  TPU stage attribution at fem2d L=7 put the fanin
+        # scatter at 1.22s of a 1.54s factor; relay converts that work
+        # to MXU/gather ops.
+        ea_env = os.environ.get("MGB_ND_EA")
+        if ea_env is None:
+            ea_env = "relay" if jax.default_backend() == "tpu" else "fanin"
+        self.ea_mode = ea_env
+        # relay column selection: 'mm' = one-hot matmul (MXU),
+        # 'gather' = take_along_axis on the lane axis (lane-hostile on
+        # TPU but zero flops) — A/B knob.
+        self.relay_cols = os.environ.get("MGB_ND_RELAY_COLS", "mm")
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -669,6 +732,31 @@ class NDFactorizer:
         # are the largest device operands, ~150MB at L=8): the combined
         # concat+single-scatter form by default, or the split form
         # under the MGB_ND_SPLITSUM A/B flag.
+        if self.ea_mode == "relay":
+            dst = dict(
+                asm_dst=None,
+                asm_dst_nea=[
+                    idx(np.concatenate([sym.asm_dst[d], sym.pad_ids[d]]))
+                    for d in range(sym.ngroups)
+                ],
+                ea_tdst=None,
+                relay=[
+                    [
+                        (idx(cidx), idx(pkk), idx(rdof))
+                        for (gc, cidx, pkk, rdof) in sym.relay_in[d]
+                    ]
+                    for d in range(sym.ngroups)
+                ],
+            )
+            return dict(
+                asm_pid=[idx(a) for a in sym.asm_pid],
+                ea_tsrc=None,
+                sep_gids=[idx(a) for a in sym.sep_gids],
+                bd_gids=[idx(a) for a in sym.bd_gids],
+                sep_gids_w=[idx(a) for a in sym.sep_gids_w],
+                bd_gids_w=[idx(a) for a in sym.bd_gids_w],
+                **dst,
+            )
         if self.split_sum:
             dst = dict(
                 asm_dst=None,
@@ -726,10 +814,12 @@ class NDFactorizer:
             mm = _mm_native
         vflat = vals.astype(dtype)  # flat (f1*nf+f2)*nuniq + pid layout
         Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
-        # children's Schur complements (dense, field-interleaved),
-        # written once per group at a static offset and gathered by
-        # ancestor assemblies
-        sb_flat = jnp.zeros(int(sym.sb_off[-1]), dtype)
+        relay = self.ea_mode == "relay"
+        # children's Schur complements (dense, field-interleaved):
+        # fanin keeps a flat buffer gathered by ancestor assemblies;
+        # relay keeps per-group arrays consumed by the parent group only
+        sb_flat = None if relay else jnp.zeros(int(sym.sb_off[-1]), dtype)
+        schur_grp: dict = {}
         out = []
         for d in range(sym.ngroups - 1, -1, -1):
             n_d = len(sym.by_depth[d])
@@ -743,7 +833,50 @@ class NDFactorizer:
             data = vflat[consts["asm_pid"][d]]
             npad = len(sym.pad_ids[d])
             nseg = n_d * F * F
-            if self.split_sum:
+            if relay:
+                # base assembly: matrix values + pad unit diagonals only
+                parts = [data]
+                if npad:
+                    parts.append(jnp.ones(npad, dtype))
+                blocks = jax.ops.segment_sum(
+                    jnp.concatenate(parts) if npad else data,
+                    consts["asm_dst_nea"][d],
+                    num_segments=nseg,
+                )
+                fronts = blocks.reshape(n_d, F, F)
+                # children's Schur relayed through the parent: batch
+                # gather (whole fronts), row gather (whole rows), then
+                # column selection (one-hot matmul on the MXU, or a
+                # lane-axis gather under MGB_ND_RELAY_COLS=gather)
+                for (gc, _c, _p, _r), ops in zip(
+                    sym.relay_in[d], consts["relay"][d]
+                ):
+                    cidx_a, pkk_a, rdof = ops
+                    sch = schur_grp[gc]
+                    spad = jnp.pad(
+                        sch[cidx_a], ((0, 0), (0, 1), (0, 1))
+                    )
+                    A1 = jnp.take_along_axis(
+                        spad, rdof[:, :, None], axis=1
+                    )
+                    if self.relay_cols == "gather":
+                        A2 = jnp.take_along_axis(
+                            A1, rdof[:, None, :], axis=2
+                        )
+                    else:
+                        Bf1 = spad.shape[1]
+                        S = (
+                            rdof[:, None, :]
+                            == jnp.arange(Bf1, dtype=rdof.dtype)[
+                                None, :, None
+                            ]
+                        ).astype(dtype)
+                        A2 = A1 @ S
+                    fronts = fronts + jax.ops.segment_sum(
+                        A2, pkk_a, num_segments=n_d,
+                        indices_are_sorted=True,
+                    )
+            elif self.split_sum:
                 # two scatter-adds instead of concat+one: avoids
                 # materializing the gathered extend-add data (XLA can
                 # fuse the sb_flat gather into the second scatter).
@@ -771,7 +904,8 @@ class NDFactorizer:
                     consts["asm_dst"][d],
                     num_segments=nseg,
                 )
-            fronts = blocks.reshape(n_d, F, F)
+            if not relay:
+                fronts = blocks.reshape(n_d, F, F)
             if self.chol == "blocked" and s > 32:
                 Ls = _chol_blocked(fronts[:, :s, :s], mm=mm)
             else:
@@ -798,9 +932,12 @@ class NDFactorizer:
                 schur = fronts[:, s:, s:] - mm(
                     jnp.swapaxes(Lsb, -1, -2), Lsb
                 )
-                sb_flat = jax.lax.dynamic_update_slice(
-                    sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
-                )
+                if relay:
+                    schur_grp[d] = schur
+                else:
+                    sb_flat = jax.lax.dynamic_update_slice(
+                        sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
+                    )
         return out
 
     def solve(self, fac, b: jnp.ndarray, consts):

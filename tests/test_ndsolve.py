@@ -68,29 +68,44 @@ def _grid_problem(G, nf, pad, seed=0):
 
 
 @pytest.mark.parametrize(
-    "nf,pad,leaf,use_inv,splitsum,G",
-    [(1, False, 4, False, False, 6), (2, True, 4, False, False, 6),
-     (2, True, 4, True, False, 6), (2, True, 16, True, False, 6),
-     (2, True, 4, False, True, 6),
+    "nf,pad,leaf,use_inv,splitsum,G,ea",
+    [(1, False, 4, False, False, 6, "fanin"),
+     (2, True, 4, False, False, 6, "fanin"),
+     (2, True, 4, True, False, 6, "fanin"),
+     (2, True, 16, True, False, 6, "fanin"),
+     (2, True, 4, False, True, 6, "fanin"),
+     # relay extend-add (the TPU scatter-free path, MGB_ND_EA=relay),
+     # both column-selection variants
+     (2, True, 4, True, False, 6, "relay"),
+     (1, False, 4, False, False, 6, "relay"),
+     (2, True, 4, True, False, 6, "relay_gather"),
      # large-leaf configs (the TPU fewer-depths lever, MGB_ND_LEAF=64):
      # a 12x12 grid so leaf 64 still produces a real separator tree
-     (2, True, 64, True, False, 12), (2, True, 64, False, False, 12)],
+     (2, True, 64, True, False, 12, "fanin"),
+     (2, True, 64, False, False, 12, "fanin"),
+     (2, True, 64, True, False, 12, "relay")],
 )
-def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum, G):
+def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum, G, ea):
     import os
 
     idx, coords, vals, Ad = _grid_problem(G, nf, pad)
     sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=leaf)
-    prev = os.environ.get("MGB_ND_SPLITSUM")
+    prev = {k: os.environ.get(k)
+            for k in ("MGB_ND_SPLITSUM", "MGB_ND_EA", "MGB_ND_RELAY_COLS")}
     try:
         # pin BOTH ways so ambient A/B env can't collapse the matrix
         os.environ["MGB_ND_SPLITSUM"] = "1" if splitsum else "0"
+        os.environ["MGB_ND_EA"] = ea.split("_")[0]
+        os.environ["MGB_ND_RELAY_COLS"] = (
+            "gather" if ea.endswith("_gather") else "mm"
+        )
         fz = NDFactorizer(sym, use_inv=use_inv)
     finally:
-        if prev is None:
-            os.environ.pop("MGB_ND_SPLITSUM", None)
-        else:
-            os.environ["MGB_ND_SPLITSUM"] = prev
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     cst = fz.consts()
     fac = fz.factor(jnp.asarray(vals), cst)
     for Ls, Lsb in fac:

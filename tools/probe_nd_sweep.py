@@ -1,0 +1,128 @@
+"""Sweep ND factor knob variants on the live backend in ONE process
+(one geometry build, sequential remote compiles): chol engine, split
+scatter, leaf size.  Prints min-of-3 per-call times (timed semantics of
+probe_nd_tpu_cost).
+
+Run on TPU:  python tools/probe_nd_sweep.py [L]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import importlib
+
+import multigridbarrier_tpu as mgb
+
+A = importlib.import_module("multigridbarrier_tpu.solver.amgb")
+from multigridbarrier_tpu.solver.ndsolve import (
+    NDFactorizer,
+    NDSymbolic,
+    node_coords,
+)
+
+L = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+
+
+def timed(label, fn, *args, n=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    allts = " ".join(f"{t*1e3:.1f}" for t in ts)
+    print(f"{label:52s} {dt*1e3:9.2f} ms   [{allts}]", flush=True)
+    return dt
+
+
+g = mgb.fem2d(L=L)
+basis_idx = None
+# reach the fine-level basis without building solver kernels
+spec = A._normalize_D(A.default_D(2))
+dt_ = g.x.dtype
+c0 = jax.vmap(lambda xi: jnp.asarray(A.default_f(2, dt_)(xi), dt_))(g.x)
+ctx = A._SolverCtx(g, spec, A.default_Q(2, 1.0).barrier, c0)
+basis = ctx._bases[ctx.levels - 1]
+m, nf = basis.m, 2
+coords = node_coords(basis.idx, m, np.asarray(g.x), basis.nq)
+
+
+def sym_for(leaf):
+    return NDSymbolic(np.asarray(basis.idx), m, nf, coords, leaf=leaf)
+
+
+def vals_for(sym, rng):
+    nuniq = sym.nuniq
+    vals = rng.standard_normal((nf, nf, nuniq)) * 0.01
+    keys = sym.pair_i_all.astype(np.int64) * (sym.m + 1) + sym.pair_j_all
+    tkeys = sym.pair_j_all.astype(np.int64) * (sym.m + 1) + sym.pair_i_all
+    perm = np.searchsorted(keys, tkeys)
+    perm = np.minimum(perm, nuniq - 1)
+    has_t = keys[perm] == tkeys
+    vals_t = np.where(
+        has_t[None, None, :], vals.transpose(1, 0, 2)[:, :, perm], vals
+    )
+    vals = (0.5 * (vals + vals_t)).reshape(-1)
+    diag_ids = (
+        (np.arange(nf, dtype=np.int64) * (nf + 1))[None, :] * nuniq
+        + sym.diag_pid[:, None]
+    ).reshape(-1)
+    vals[diag_ids] = 4.0
+    return jnp.asarray(vals)
+
+
+CASES = [
+    # (label, leaf, env overrides)
+    ("leaf16 baseline", 16, {}),
+    ("leaf16 chol=blocked", 16, {"MGB_ND_CHOL": "blocked"}),
+    ("leaf16 splitsum", 16, {"MGB_ND_SPLITSUM": "1"}),
+    ("leaf64", 64, {}),
+    ("leaf64 chol=blocked", 64, {"MGB_ND_CHOL": "blocked"}),
+    ("leaf128 chol=blocked", 128, {"MGB_ND_CHOL": "blocked"}),
+]
+
+syms = {}
+rng = np.random.default_rng(0)
+x_ref = {}
+for label, leaf, envs in CASES:
+    if leaf not in syms:
+        t0 = time.perf_counter()
+        syms[leaf] = sym_for(leaf)
+        print(f"# symbolic leaf={leaf}: {time.perf_counter()-t0:.1f}s "
+              f"maxd={syms[leaf].maxd} groups={syms[leaf].ngroups}",
+              flush=True)
+    sym = syms[leaf]
+    saved = {}
+    for k, v in envs.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        fz = NDFactorizer(sym, use_inv=True)
+        cst = fz.consts()
+        vals_j = vals_for(sym, np.random.default_rng(0))
+        factor_j = jax.jit(lambda v, c: fz.factor(v, c))
+        fac = factor_j(vals_j, cst)
+        b = jnp.asarray(np.random.default_rng(1).standard_normal(sym.N))
+        solve_j = jax.jit(lambda f, b, c: fz.solve(f, b, c))
+        x = np.asarray(solve_j(fac, b, cst))
+        if leaf not in x_ref:
+            x_ref[leaf] = x
+        rel = np.linalg.norm(x - x_ref[leaf]) / np.linalg.norm(x_ref[leaf])
+        timed(f"factor [{label}]", factor_j, vals_j, cst)
+        timed(f"solve  [{label}]", solve_j, fac, b, cst)
+        if rel > 0:
+            print(f"  solve rel diff vs leaf-ref {rel:.2e}", flush=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v

@@ -105,26 +105,29 @@ if _os.environ.get("MGB_PROBE_MM", "1") == "1":
 # -- real solver programs at the fine level: pre (assembly), nd_init
 # (pre + factor + solve), nd_step (line search + pre + factor + solve).
 # Differences give the per-phase split of the ~2.7 s/Newton-it budget.
-z0 = jax.vmap(lambda xi: jnp.asarray(A.default_g(2, dt_)(xi), dt_))(g.x)
-hh = ctx._get_nd(level)
-basis_l = ctx._bases[level]
-Pl = ctx._P[level]
-t1 = jnp.asarray(1.0e3, dt_)
-pre_j = jax.jit(ctx._build_host_pre(level))
-t_pre = timed("pre (assembly)", pre_j, Pl, basis_l, ctx.x, ctx.w, ctx.c,
-              z0, t1, hh["nd_full_ids"])
-gv, y, cy, fy0, dvp = hh["nd_init"](
-    Pl, basis_l, ctx.x, ctx.w, ctx.c, z0, t1, hh["nd_full_ids"],
-    hh["nd_consts"],
-)
-t_init = timed("nd_init (pre+factor+solve)", hh["nd_init"], Pl, basis_l,
-               ctx.x, ctx.w, ctx.c, z0, t1, hh["nd_full_ids"],
-               hh["nd_consts"])
-t_step = timed("nd_step (post+pre+factor+solve)", hh["nd_step"], Pl,
-               basis_l, basis_l.rloc, ctx.x, ctx.w, ctx.c, z0, t1, y, cy,
-               fy0, gv, dvp, hh["nd_full_ids"], hh["nd_consts"])
-print(f"  => direction (factor+solve) ~ {1e3*(t_init-t_pre):.1f} ms, "
-      f"post (line search) ~ {1e3*(t_step-t_init):.1f} ms")
+# MGB_PROBE_PROGRAMS=0 skips (3 big remote compiles) for knob sweeps
+# that only change the factor.
+if _os.environ.get("MGB_PROBE_PROGRAMS", "1") == "1":
+    z0 = jax.vmap(lambda xi: jnp.asarray(A.default_g(2, dt_)(xi), dt_))(g.x)
+    hh = ctx._get_nd(level)
+    basis_l = ctx._bases[level]
+    Pl = ctx._P[level]
+    t1 = jnp.asarray(1.0e3, dt_)
+    pre_j = jax.jit(ctx._build_host_pre(level))
+    t_pre = timed("pre (assembly)", pre_j, Pl, basis_l, ctx.x, ctx.w, ctx.c,
+                  z0, t1, hh["nd_full_ids"])
+    gv, y, cy, fy0, dvp = hh["nd_init"](
+        Pl, basis_l, ctx.x, ctx.w, ctx.c, z0, t1, hh["nd_full_ids"],
+        hh["nd_consts"],
+    )
+    t_init = timed("nd_init (pre+factor+solve)", hh["nd_init"], Pl, basis_l,
+                   ctx.x, ctx.w, ctx.c, z0, t1, hh["nd_full_ids"],
+                   hh["nd_consts"])
+    t_step = timed("nd_step (post+pre+factor+solve)", hh["nd_step"], Pl,
+                   basis_l, basis_l.rloc, ctx.x, ctx.w, ctx.c, z0, t1, y, cy,
+                   fy0, gv, dvp, hh["nd_full_ids"], hh["nd_consts"])
+    print(f"  => direction (factor+solve) ~ {1e3*(t_init-t_pre):.1f} ms, "
+          f"post (line search) ~ {1e3*(t_step-t_init):.1f} ms")
 basis = ctx._bases[level]
 m, nf = basis.m, 2
 import os
