@@ -79,15 +79,30 @@ def vals_for(sym, rng):
     return jnp.asarray(vals)
 
 
-CASES = [
-    # (label, leaf, env overrides)
-    ("leaf16 baseline", 16, {}),
-    ("leaf16 chol=blocked", 16, {"MGB_ND_CHOL": "blocked"}),
-    ("leaf16 splitsum", 16, {"MGB_ND_SPLITSUM": "1"}),
-    ("leaf64", 64, {}),
-    ("leaf64 chol=blocked", 64, {"MGB_ND_CHOL": "blocked"}),
-    ("leaf128 chol=blocked", 128, {"MGB_ND_CHOL": "blocked"}),
-]
+CASES_ALL = {
+    "knobs": [
+        # (label, leaf, env overrides)
+        ("leaf16 baseline", 16, {}),
+        ("leaf16 chol=blocked", 16, {"MGB_ND_CHOL": "blocked"}),
+        ("leaf16 splitsum", 16, {"MGB_ND_SPLITSUM": "1"}),
+        ("leaf64", 64, {}),
+        ("leaf64 chol=blocked", 64, {"MGB_ND_CHOL": "blocked"}),
+        ("leaf128 chol=blocked", 128, {"MGB_ND_CHOL": "blocked"}),
+    ],
+    "relay": [
+        ("leaf16 relay", 16, {"MGB_ND_EA": "relay"}),
+        ("leaf16 relay cols=gather", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_RELAY_COLS": "gather"}),
+        ("leaf64 relay", 64, {"MGB_ND_EA": "relay"}),
+        ("leaf64 relay chol=blocked", 64,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        ("leaf128 relay chol=blocked", 128,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        # f32 factor rate (the MGB_ND_F32PC preconditioner lever)
+        ("leaf64 relay f32", 64, {"MGB_ND_EA": "relay", "_F32": "1"}),
+    ],
+}
+CASES = CASES_ALL[os.environ.get("MGB_SWEEP_SET", "knobs")]
 
 syms = {}
 rng = np.random.default_rng(0)
@@ -101,6 +116,7 @@ for label, leaf, envs in CASES:
               flush=True)
     sym = syms[leaf]
     saved = {}
+    f32 = envs.pop("_F32", None) == "1"
     for k, v in envs.items():
         saved[k] = os.environ.get(k)
         os.environ[k] = v
@@ -108,6 +124,12 @@ for label, leaf, envs in CASES:
         fz = NDFactorizer(sym, use_inv=True)
         cst = fz.consts()
         vals_j = vals_for(sym, np.random.default_rng(0))
+        if f32:
+            factor_j = jax.jit(
+                lambda v, c: fz.factor(v, c, dtype=jnp.float32)
+            )
+            timed(f"factor [{label}]", factor_j, vals_j, cst)
+            continue
         factor_j = jax.jit(lambda v, c: fz.factor(v, c))
         fac = factor_j(vals_j, cst)
         b = jnp.asarray(np.random.default_rng(1).standard_normal(sym.N))
