@@ -712,9 +712,11 @@ class NDFactorizer:
             ea_env = "relay" if jax.default_backend() == "tpu" else "fanin"
         self.ea_mode = ea_env
         # relay column selection: 'mm' = one-hot matmul (MXU),
-        # 'gather' = take_along_axis on the lane axis (lane-hostile on
-        # TPU but zero flops) — A/B knob.
-        self.relay_cols = os.environ.get("MGB_ND_RELAY_COLS", "mm")
+        # 'gather' = take_along_axis on the lane axis.  Measured on the
+        # v5e at fem2d L=7 leaf16: gather 632ms vs mm 740ms factor (the
+        # one-hot matmul pays F^2*Bf f64-emulated flops; the lane-axis
+        # gather moves less than the matmul computes) — default gather.
+        self.relay_cols = os.environ.get("MGB_ND_RELAY_COLS", "gather")
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and

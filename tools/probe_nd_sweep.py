@@ -101,6 +101,16 @@ CASES_ALL = {
         # f32 factor rate (the MGB_ND_F32PC preconditioner lever)
         ("leaf64 relay f32", 64, {"MGB_ND_EA": "relay", "_F32": "1"}),
     ],
+    "relay2": [
+        ("leaf16 relay chol=blocked", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        ("leaf16 relay chol=blocked bucket", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_BUCKET": "1"}),
+        ("leaf16 relay f32", 16, {"MGB_ND_EA": "relay", "_F32": "1"}),
+        ("leaf16 relay f32 chol=blocked", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_F32": "1"}),
+    ],
 }
 CASES = CASES_ALL[os.environ.get("MGB_SWEEP_SET", "knobs")]
 
@@ -108,13 +118,22 @@ syms = {}
 rng = np.random.default_rng(0)
 x_ref = {}
 for label, leaf, envs in CASES:
-    if leaf not in syms:
+    bkt = envs.get("MGB_ND_BUCKET", "")
+    skey = (leaf, bkt)
+    if skey not in syms:
+        sav = os.environ.get("MGB_ND_BUCKET")
+        if bkt:
+            os.environ["MGB_ND_BUCKET"] = bkt
         t0 = time.perf_counter()
-        syms[leaf] = sym_for(leaf)
-        print(f"# symbolic leaf={leaf}: {time.perf_counter()-t0:.1f}s "
-              f"maxd={syms[leaf].maxd} groups={syms[leaf].ngroups}",
-              flush=True)
-    sym = syms[leaf]
+        syms[skey] = sym_for(leaf)
+        if sav is None:
+            os.environ.pop("MGB_ND_BUCKET", None)
+        else:
+            os.environ["MGB_ND_BUCKET"] = sav
+        print(f"# symbolic leaf={leaf} bucket={bkt or 'default'}: "
+              f"{time.perf_counter()-t0:.1f}s maxd={syms[skey].maxd} "
+              f"groups={syms[skey].ngroups}", flush=True)
+    sym = syms[skey]
     saved = {}
     f32 = envs.pop("_F32", None) == "1"
     for k, v in envs.items():
