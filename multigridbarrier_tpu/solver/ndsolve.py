@@ -791,7 +791,7 @@ class NDFactorizer:
             **dst,
         )
 
-    def factor(self, vals: jnp.ndarray, consts, dtype=None):
+    def factor(self, vals: jnp.ndarray, consts, dtype=None, upto=None):
         """vals: deduplicated segment array (HostPattern layout:
         (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)].
 
@@ -846,6 +846,13 @@ class NDFactorizer:
                     num_segments=nseg,
                 )
                 fronts = blocks.reshape(n_d, F, F)
+                # stage-attribution truncations (probe only): 'asm' =
+                # base scatter alone; 'ea' adds the relay traffic with
+                # a FAKE Schur (front slice, so gathers/memory are real
+                # but no factor math); 'chol' adds the Cholesky.
+                if upto == "asm":
+                    out.append((fronts[:, 0, :1], fronts[:, :1, :1]))
+                    continue
                 # children's Schur relayed through the parent: batch
                 # gather (whole fronts), row gather (whole rows), then
                 # column selection (one-hot matmul on the MXU, or a
@@ -878,6 +885,18 @@ class NDFactorizer:
                         A2, pkk_a, num_segments=n_d,
                         indices_are_sorted=True,
                     )
+                if upto in ("ea", "chol"):
+                    if upto == "chol":
+                        if self.chol == "blocked" and s > 32:
+                            Lt = _chol_blocked(fronts[:, :s, :s], mm=mm)
+                        else:
+                            Lt = jnp.linalg.cholesky(fronts[:, :s, :s])
+                        out.append((Lt[:, :1, :1], Lt[:, :1, :1]))
+                    else:
+                        out.append((fronts[:, :1, :1], fronts[:, :1, :1]))
+                    if sym.b_pad[d]:
+                        schur_grp[d] = fronts[:, s:, s:]
+                    continue
             elif self.split_sum:
                 # two scatter-adds instead of concat+one: avoids
                 # materializing the gathered extend-add data (XLA can

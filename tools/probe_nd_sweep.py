@@ -101,6 +101,12 @@ CASES_ALL = {
         # f32 factor rate (the MGB_ND_F32PC preconditioner lever)
         ("leaf64 relay f32", 64, {"MGB_ND_EA": "relay", "_F32": "1"}),
     ],
+    "relay_stages": [
+        ("stage asm", 16, {"MGB_ND_EA": "relay", "_UPTO": "asm"}),
+        ("stage ea", 16, {"MGB_ND_EA": "relay", "_UPTO": "ea"}),
+        ("stage chol", 16, {"MGB_ND_EA": "relay", "_UPTO": "chol"}),
+        ("stage full", 16, {"MGB_ND_EA": "relay"}),
+    ],
     "relay2": [
         ("leaf16 relay chol=blocked", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
@@ -136,6 +142,7 @@ for label, leaf, envs in CASES:
     sym = syms[skey]
     saved = {}
     f32 = envs.pop("_F32", None) == "1"
+    upto = envs.pop("_UPTO", None)
     for k, v in envs.items():
         saved[k] = os.environ.get(k)
         os.environ[k] = v
@@ -143,6 +150,10 @@ for label, leaf, envs in CASES:
         fz = NDFactorizer(sym, use_inv=True)
         cst = fz.consts()
         vals_j = vals_for(sym, np.random.default_rng(0))
+        if upto:
+            factor_j = jax.jit(lambda v, c: fz.factor(v, c, upto=upto))
+            timed(f"factor [{label}]", factor_j, vals_j, cst)
+            continue
         if f32:
             factor_j = jax.jit(
                 lambda v, c: fz.factor(v, c, dtype=jnp.float32)
