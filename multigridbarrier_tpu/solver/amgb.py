@@ -116,6 +116,24 @@ _DEFAULT_Q_CACHE: dict = {}
 _CO_BARRIER_CACHE: dict = {}
 
 
+def _f32pc_on() -> bool:
+    """MGB_ND_F32PC default: ON for accelerator backends, OFF on CPU.
+
+    The shifted-f32-preconditioned certified direction (nd_dir_f32) is
+    measured CPU-neutral (session-7: identical objectives/its at L<=6,
+    no wall win on LAPACK where the f64 factor is cheap), but on the
+    v5e the f64 multifrontal factor is software-emulated at ~12x the
+    f32 cost (fem2d L=7 leaf16 relay: 581ms f64 vs 53ms f32), so every
+    Newton step the cheap path certifies replaces a 581ms factor with
+    a 53ms one plus a few ~60ms PCG sweeps.  Honesty is structural:
+    the accepted direction always solves the TRUE f64 system to
+    cg_rtol (the certification gate), exactly like the f64 path."""
+    env = os.environ.get("MGB_ND_F32PC")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
 def _co_barrier_for(Qset: "Convex", k: int) -> Callable:
     """Memoized phase-1 barrier wrapper for (Qset, k).
 
@@ -1303,10 +1321,7 @@ class _SolverCtx:
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
         if float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
-            if (
-                os.environ.get("MGB_ND_REUSE", "0") == "1"
-                or os.environ.get("MGB_ND_F32PC", "0") == "1"
-            ):
+            if os.environ.get("MGB_ND_REUSE", "0") == "1" or _f32pc_on():
                 return self._run_level_nd_reuse(level, z, t, theta2)
             if os.environ.get("MGB_ND_LAZY", "0") == "1":
                 return self._run_level_nd_lazy(level, z, t, theta2)
@@ -1448,9 +1463,7 @@ class _SolverCtx:
         # cheap-direction provider: fresh shifted-f32 factor (no
         # staleness; pays an f32 factor per step at MXU rate) beats the
         # stale-f64 factor when both are available
-        f32pc = os.environ.get("MGB_ND_F32PC", "0") == "1" and (
-            "nd_dir_f32" in h
-        )
+        f32pc = _f32pc_on() and ("nd_dir_f32" in h)
         dir_cheap = h["nd_dir_f32"] if f32pc else h["nd_dir_r"]
         full_ids = h["nd_full_ids"]
         cst = h["nd_consts"]

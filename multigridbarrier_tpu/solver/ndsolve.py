@@ -686,7 +686,15 @@ class NDFactorizer:
         # identity (sequential panel substitution); 'blocked' = block-
         # doubling matmul inverse (_tri_inv_blocked; MXU-dominant).
         self.tri_inv = os.environ.get("MGB_ND_TRIINV", "blocked")
-        self.chol = os.environ.get("MGB_ND_CHOL", "xla")
+        # Cholesky engine: XLA's CholeskyExpander loop vs the blocked
+        # right-looking panel form (_chol_blocked).  Measured on the v5e
+        # at fem2d L=7 leaf16 (relay EA): blocked 581ms vs xla 632ms for
+        # the f64 factor (f32: 54.3 vs 52.9 — a wash); XLA:CPU prefers
+        # its native expander.  Default blocked on accelerators.
+        self.chol = os.environ.get(
+            "MGB_ND_CHOL",
+            "xla" if jax.default_backend() == "cpu" else "blocked",
+        )
         # assembly scatter shape: 0 = one concat+segment_sum per group,
         # 1 = split the extend-add into its own scatter-add (lets XLA
         # fuse the Schur gather into the scatter instead of

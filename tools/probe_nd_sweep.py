@@ -107,6 +107,15 @@ CASES_ALL = {
         ("stage chol", 16, {"MGB_ND_EA": "relay", "_UPTO": "chol"}),
         ("stage full", 16, {"MGB_ND_EA": "relay"}),
     ],
+    # latency-bound regime (v5e): per-depth sequential stages dominate;
+    # bigger leaves trade flops (cheap, 457 GF/s f64) for fewer depths
+    "leafscan": [
+        ("leaf64 relay", 64, {"MGB_ND_EA": "relay"}),
+        ("leaf128 relay", 128, {"MGB_ND_EA": "relay"}),
+        ("leaf256 relay", 256, {"MGB_ND_EA": "relay"}),
+        ("leaf256 relay chol=blocked", 256,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+    ],
     "relay2": [
         ("leaf16 relay chol=blocked", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
