@@ -1203,6 +1203,40 @@ class _SolverCtx:
             )
         return h
 
+    def _stop_code(self, tr, kg, lam2, alpha, phi0, theta2, eps):
+        """The Newton stop rule, host form — the SINGLE implementation
+        shared by every host-driven run_level loop (nd / nd_lazy /
+        nd_reuse / host).  Semantics and ordering are exactly the traced
+        twin in _build_loop's body; the regime analysis (quadratic-region
+        plateau vs damped-region phi floor, patience bound) is documented
+        there.  Any semantics change must be applied to BOTH forms — the
+        round-1 fake-convergence bug was exactly this class of drift.
+
+        Returns one of DIVERGED/LOCKED/CONVERGED/STALLED/RUNNING; the
+        caller still owns the newton_cap bound (CAPPED).
+        """
+        l2 = tr["lam2"]
+        stall_quad = (
+            kg >= 5
+            and lam2 <= 0.25
+            and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
+        )
+        floor = 64.0 * eps * (abs(phi0) + 1.0)
+        stall_floor = kg >= 2 and max(
+            abs(d) for d in tr["dphi"][-3:]
+        ) <= floor
+        patience = self.newton_patience
+        patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
+        if not math.isfinite(lam2):
+            return self.DIVERGED
+        if alpha == 0.0:
+            return self.LOCKED
+        if lam2 <= theta2:
+            return self.CONVERGED
+        if stall_quad or stall_floor or patient:
+            return self.STALLED
+        return self.RUNNING
+
     def _run_level_nd_lazy(self, level: int, z, t, theta2: float):
         """ND Newton iteration with LAZY direction dispatch
         (MGB_ND_LAZY=1): the fused _run_level_nd program computes the
@@ -1233,7 +1267,6 @@ class _SolverCtx:
         dtype = z.dtype
         t_arr = jnp.asarray(t, dtype=dtype)
         eps = float(np.finfo(np.asarray(z).dtype).eps)
-        patience = self.newton_patience
 
         import time as _time
 
@@ -1284,25 +1317,7 @@ class _SolverCtx:
             tr["cgits"].append(0.0)
             tr["cgrel"].append(0.0)
             cyf, fy0f = cy_a, fy0_a
-            l2 = tr["lam2"]
-            stall_quad = (
-                kg >= 5
-                and lam2 <= 0.25
-                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
-            )
-            floor = 64.0 * eps * (abs(phi0) + 1.0)
-            stall_floor = kg >= 2 and max(
-                abs(d) for d in tr["dphi"][-3:]
-            ) <= floor
-            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
-            if not math.isfinite(lam2):
-                code = self.DIVERGED
-            elif alpha == 0.0:
-                code = self.LOCKED
-            elif lam2 <= theta2:
-                code = self.CONVERGED
-            elif stall_quad or stall_floor or patient:
-                code = self.STALLED
+            code = self._stop_code(tr, kg, lam2, alpha, phi0, theta2, eps)
             kg += 1
             if code != self.RUNNING:
                 break
@@ -1321,7 +1336,11 @@ class _SolverCtx:
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
         if float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
-            if os.environ.get("MGB_ND_REUSE", "0") == "1" or _f32pc_on():
+            # f32pc routes through the reuse runner only for f64 solves
+            # (an f32 solve can never certify at cg_rtol — ADVICE r2)
+            if os.environ.get("MGB_ND_REUSE", "0") == "1" or (
+                _f32pc_on() and z.dtype == jnp.float64
+            ):
                 return self._run_level_nd_reuse(level, z, t, theta2)
             if os.environ.get("MGB_ND_LAZY", "0") == "1":
                 return self._run_level_nd_lazy(level, z, t, theta2)
@@ -1352,7 +1371,6 @@ class _SolverCtx:
         dtype = z.dtype
         t_arr = jnp.asarray(t, dtype=dtype)
         eps = float(np.finfo(np.asarray(z).dtype).eps)
-        patience = self.newton_patience
 
         import time as _time
 
@@ -1403,25 +1421,7 @@ class _SolverCtx:
             tr["cgits"].append(0.0)
             tr["cgrel"].append(0.0)
             cyf, fy0f = cy_a, fy0_a
-            l2 = tr["lam2"]
-            stall_quad = (
-                kg >= 5
-                and lam2 <= 0.25
-                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
-            )
-            floor = 64.0 * eps * (abs(phi0) + 1.0)
-            stall_floor = kg >= 2 and max(
-                abs(d) for d in tr["dphi"][-3:]
-            ) <= floor
-            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
-            if not math.isfinite(lam2):
-                code = self.DIVERGED
-            elif alpha == 0.0:
-                code = self.LOCKED
-            elif lam2 <= theta2:
-                code = self.CONVERGED
-            elif stall_quad or stall_floor or patient:
-                code = self.STALLED
+            code = self._stop_code(tr, kg, lam2, alpha, phi0, theta2, eps)
             kg += 1
             if use32 and code not in (self.RUNNING, self.CONVERGED):
                 # f32-factor leg hit its precision floor (or a genuinely
@@ -1462,8 +1462,18 @@ class _SolverCtx:
         dir_f = h["nd_dir_f"]
         # cheap-direction provider: fresh shifted-f32 factor (no
         # staleness; pays an f32 factor per step at MXU rate) beats the
-        # stale-f64 factor when both are available
-        f32pc = _f32pc_on() and ("nd_dir_f32" in h)
+        # stale-f64 factor when both are available.  Gates (ADVICE r2):
+        # * an EXPLICIT MGB_ND_REUSE=1 always means the stale-f64-factor
+        #   leg — it is the documented A/B flag and must not be silently
+        #   redefined by the accelerator f32pc default;
+        # * f32pc only for float64 solves: an f32 solve can never certify
+        #   at cg_rtol=1e-9, so every attempt would be a doomed waste.
+        f32pc = (
+            _f32pc_on()
+            and ("nd_dir_f32" in h)
+            and z.dtype == jnp.float64
+            and os.environ.get("MGB_ND_REUSE", "0") != "1"
+        )
         dir_cheap = h["nd_dir_f32"] if f32pc else h["nd_dir_r"]
         full_ids = h["nd_full_ids"]
         cst = h["nd_consts"]
@@ -1473,7 +1483,6 @@ class _SolverCtx:
         dtype = z.dtype
         t_arr = jnp.asarray(t, dtype=dtype)
         eps = float(np.finfo(np.asarray(z).dtype).eps)
-        patience = self.newton_patience
         # upper bound on consecutive reuse steps (hostsolve's stale_cap):
         # the PCG tolerance — not this cap — is the correctness gate; the
         # cap only bounds drift in PCG cost as the factor ages.
@@ -1601,25 +1610,7 @@ class _SolverCtx:
             tr["cgits"].append(cgits)
             tr["cgrel"].append(cgrel)
             cyf, fy0f = cy_a, fy0_a
-            l2 = tr["lam2"]
-            stall_quad = (
-                kg >= 5
-                and lam2 <= 0.25
-                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
-            )
-            floor = 64.0 * eps * (abs(phi0) + 1.0)
-            stall_floor = kg >= 2 and max(
-                abs(d) for d in tr["dphi"][-3:]
-            ) <= floor
-            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
-            if not math.isfinite(lam2):
-                code = self.DIVERGED
-            elif alpha == 0.0:
-                code = self.LOCKED
-            elif lam2 <= theta2:
-                code = self.CONVERGED
-            elif stall_quad or stall_floor or patient:
-                code = self.STALLED
+            code = self._stop_code(tr, kg, lam2, alpha, phi0, theta2, eps)
             kg += 1
             if code != self.RUNNING:
                 break
@@ -1708,7 +1699,6 @@ class _SolverCtx:
         dtype = z.dtype
         t_arr = jnp.asarray(t, dtype=dtype)
         eps = float(np.finfo(np.asarray(z).dtype).eps)
-        patience = self.newton_patience
 
         import time as _time
 
@@ -1779,25 +1769,7 @@ class _SolverCtx:
             tr["cgits"].append(float(cgits))
             tr["cgrel"].append(float(cgrel))
             # stop logic (same semantics/order as _build_loop's body)
-            l2 = tr["lam2"]
-            stall_quad = (
-                kg >= 5
-                and lam2 <= 0.25
-                and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
-            )
-            floor = 64.0 * eps * (abs(phi0) + 1.0)
-            stall_floor = kg >= 2 and max(
-                abs(d) for d in tr["dphi"][-3:]
-            ) <= floor
-            patient = patience > 0 and kg + 1 >= patience and lam2 <= 25.0
-            if not math.isfinite(lam2):
-                code = self.DIVERGED
-            elif alpha == 0.0:
-                code = self.LOCKED
-            elif lam2 <= theta2:
-                code = self.CONVERGED
-            elif stall_quad or stall_floor or patient:
-                code = self.STALLED
+            code = self._stop_code(tr, kg, lam2, alpha, phi0, theta2, eps)
             kg += 1
             if code != self.RUNNING:
                 break

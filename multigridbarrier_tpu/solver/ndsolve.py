@@ -799,7 +799,32 @@ class NDFactorizer:
             **dst,
         )
 
+    @staticmethod
+    def _prec_ctx(dtype):
+        """Matmul-precision context for a given factor dtype.
+
+        On TPU, float32 dot/einsum default to ONE bf16 MXU pass (~8
+        mantissa bits) — an "f32" factor built that way is effectively a
+        bf16 factor, and the f32pc preconditioner quality collapses far
+        earlier along the barrier path than true f32 would (round-3
+        in-situ: certification died at t=10 on the v5e vs t~1e3 on CPU
+        f32).  Force true-f32 accumulation for f32 factor/solve traces;
+        MGB_ND_F32_MM_PREC=default|high|highest overrides ('high' =
+        3-pass bf16, ~f32 quality at ~half the 'highest' cost)."""
+        if dtype == jnp.float32:
+            return jax.default_matmul_precision(
+                os.environ.get("MGB_ND_F32_MM_PREC", "highest")
+            )
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def factor(self, vals: jnp.ndarray, consts, dtype=None, upto=None):
+        dtype_r = self.dtype if dtype is None else dtype
+        with self._prec_ctx(dtype_r):
+            return self._factor_impl(vals, consts, dtype_r, upto)
+
+    def _factor_impl(self, vals: jnp.ndarray, consts, dtype, upto=None):
         """vals: deduplicated segment array (HostPattern layout:
         (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)].
 
@@ -814,7 +839,6 @@ class NDFactorizer:
         Newton progress."""
         sym = self.sym
         nf = sym.nf
-        dtype = self.dtype if dtype is None else dtype
         if self.mm_mode == "ozaki" and dtype == jnp.float64:
             from ..runtime import ozmm
 
@@ -970,6 +994,10 @@ class NDFactorizer:
         return out
 
     def solve(self, fac, b: jnp.ndarray, consts):
+        with self._prec_ctx(fac[0][0].dtype):
+            return self._solve_impl(fac, b, consts)
+
+    def _solve_impl(self, fac, b: jnp.ndarray, consts):
         """Solve A x = b.  b: (N,) node-major global dofs
         (dof = node * nf + field)."""
         sym = self.sym

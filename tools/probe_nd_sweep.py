@@ -107,14 +107,40 @@ CASES_ALL = {
         ("stage chol", 16, {"MGB_ND_EA": "relay", "_UPTO": "chol"}),
         ("stage full", 16, {"MGB_ND_EA": "relay"}),
     ],
-    # latency-bound regime (v5e): per-depth sequential stages dominate;
-    # bigger leaves trade flops (cheap, 457 GF/s f64) for fewer depths
+    # Session-9 verdict: the v5e factor is f64-EMULATION-bound, not
+    # latency-bound — bigger leaves measured WORSE (leaf64 relay 995ms
+    # vs leaf16 relay 632ms: the padded-front f64 flops swamp the two
+    # saved depths).  Set kept as the negative-result record.
     "leafscan": [
         ("leaf64 relay", 64, {"MGB_ND_EA": "relay"}),
         ("leaf128 relay", 128, {"MGB_ND_EA": "relay"}),
         ("leaf256 relay", 256, {"MGB_ND_EA": "relay"}),
         ("leaf256 relay chol=blocked", 256,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+    ],
+    # round-3 decision set: (a) true-f32 preconditioner factor cost at
+    # each matmul-precision tier (the bf16-default broke f32pc
+    # certification in situ); (b) ozaki f64 factor remeasure under the
+    # session-9 emulation-bound verdict (session-8 dismissed it on the
+    # wrong premise).  All relay + blocked chol (the production config).
+    "r3tpu": [
+        ("f64 native", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        ("f64 ozaki s8", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_MM": "ozaki", "MGB_ND_MM_SLICES": "8"}),
+        ("f64 ozaki s6", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_MM": "ozaki", "MGB_ND_MM_SLICES": "6"}),
+        ("f32 prec=default", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_F32": "1",
+          "MGB_ND_F32_MM_PREC": "default"}),
+        ("f32 prec=high", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_F32": "1",
+          "MGB_ND_F32_MM_PREC": "high"}),
+        ("f32 prec=highest", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_F32": "1",
+          "MGB_ND_F32_MM_PREC": "highest"}),
     ],
     "relay2": [
         ("leaf16 relay chol=blocked", 16,
@@ -152,6 +178,11 @@ for label, leaf, envs in CASES:
     saved = {}
     f32 = envs.pop("_F32", None) == "1"
     upto = envs.pop("_UPTO", None)
+    # MGB_ND_CHOL's default is backend-dependent (blocked on
+    # accelerators since 5b7d501); pin every case that doesn't set it
+    # to the xla engine so sweep numbers stay comparable with the
+    # pre-flip data the defaults decisions were made from (ADVICE r2).
+    envs.setdefault("MGB_ND_CHOL", "xla")
     for k, v in envs.items():
         saved[k] = os.environ.get(k)
         os.environ[k] = v
