@@ -826,7 +826,7 @@ class _SolverCtx:
                 leaf=int(os.environ.get("MGB_ND_LEAF", "16")),
             )
             dtype = self.backend.dtype
-            fz = NDFactorizer(sym, dtype=dtype)
+            fz = NDFactorizer(sym, dtype=dtype, mesh=self.backend.mesh)
             pre = self._build_host_pre(level)
             post = self._build_host_post(level)
             nuniq = sym.nuniq

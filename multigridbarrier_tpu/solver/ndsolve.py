@@ -664,9 +664,18 @@ class NDFactorizer:
     HTTP 413)."""
 
     def __init__(self, sym: NDSymbolic, dtype=jnp.float64,
-                 use_inv: bool = None):
+                 use_inv: bool = None, mesh=None):
         self.sym = sym
         self.dtype = dtype
+        # Distributed factorization (the reference's MUMPS is a
+        # distributed-memory parallel solver, docs/src/installation.md:13):
+        # fronts within a group are independent batched dense ops, so the
+        # front-batch axis shards over the 'dof' mesh axis — each device
+        # factors ~n_d/ndev fronts and the extend-add/solve traffic
+        # becomes GSPMD-inserted collectives.  Top-of-tree groups with
+        # fewer fronts than devices stay replicated (they are the
+        # sequential tail of any multifrontal schedule).
+        self.mesh = mesh
         # Triangular application policy: substitution (backward-stable,
         # preferred where it is fast) vs multiply-by-explicit-inverse
         # (batched MXU matmuls — TPU triangular solves are sequential
@@ -799,6 +808,98 @@ class NDFactorizer:
             **dst,
         )
 
+    def _shard_batch(self, arr):
+        """Pad the leading (front-batch) axis to a mesh multiple with
+        identity blocks and constrain it onto the mesh.  Returns the
+        PADDED array — callers slice [:n_d] after the batched dense ops.
+
+        No-op for single-device backends and for groups with fewer
+        fronts than devices (the top-of-tree sequential tail —
+        replicating those costs O(top-front^3) once per factor).
+
+        The explicit eye padding is load-bearing, not cosmetic: letting
+        GSPMD shard an UNEVEN batch miscomputes here — measured on the
+        8-virtual-device CPU mesh, assembled fronts came back with
+        integer-valued errors exactly at shard-boundary batch entries
+        (pad unit-diagonals landing in wrong slots through the
+        slice+all-gather of the ragged tail).  Identity blocks keep the
+        padded entries Cholesky-safe (chol(I)=I, Schur pad = 0)."""
+        if not self._shards(arr.shape[0]):
+            return arr
+        from ..backend import DOF_AXIS
+
+        # Pin the producer replicated BEFORE resharding: without this,
+        # the batch-sharding constraint propagates BACKWARD into the
+        # group's assembly/relay segment_sums and GSPMD's partitioned
+        # scatter lowering miscomputes (measured: a group's own fronts
+        # corrupt exactly when the group has relay inputs; leaf groups
+        # shard clean).  The replicated pin keeps the scatters local and
+        # makes the reshard an explicit post-assembly collective.
+        arr = self._replicate(arr)
+        r = (-arr.shape[0]) % self.mesh.size
+        if r:
+            if arr.ndim == 3 and arr.shape[1] == arr.shape[2]:
+                pad = jnp.broadcast_to(
+                    jnp.eye(arr.shape[1], dtype=arr.dtype),
+                    (r,) + arr.shape[1:],
+                )
+            else:
+                pad = jnp.zeros((r,) + arr.shape[1:], arr.dtype)
+            arr = jnp.concatenate([arr, pad])
+        spec = jax.sharding.PartitionSpec(
+            DOF_AXIS, *([None] * (arr.ndim - 1))
+        )
+        return jax.lax.with_sharding_constraint(
+            arr, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    def _shards(self, n):
+        """Does a batch of n fronts shard over the mesh?  (Groups with
+        fewer fronts than devices stay replicated — the top-of-tree
+        sequential tail.  MGB_ND_SHARD_ONLY=comma-list-of-d restricts
+        sharding to specific groups, a bisection debug knob.)"""
+        if self.mesh is None or n < self.mesh.size:
+            return False
+        only = os.environ.get("MGB_ND_SHARD_ONLY")
+        if only is not None and str(getattr(self, "_cur_d", "")) not in \
+                only.split(","):
+            return False
+        return True
+
+    def _pin_sharded(self, arr):
+        """Constrain an ALREADY-EVEN batch (a _shard_batch product or a
+        value computed from one) to the batch-sharded layout, without
+        padding or the replicate pre-pin.  Applied to the OUTPUTS of the
+        per-group dense ops: without it GSPMD's backward propagation
+        from the replicated group outputs wins and the chol/tri-inv/mm
+        chain runs replicated (measured: per-device HLO dots at full
+        padded batch size).  Pinning both ends places the all-gather
+        AFTER the O(F^3) work."""
+        if self.mesh is None or arr.shape[0] < self.mesh.size:
+            return arr
+        from ..backend import DOF_AXIS
+
+        spec = jax.sharding.PartitionSpec(
+            DOF_AXIS, *([None] * (arr.ndim - 1))
+        )
+        return jax.lax.with_sharding_constraint(
+            arr, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    def _replicate(self, arr):
+        """Constrain to fully replicated — applied to each group's Schur
+        complement before the parent group reads it.  This is the
+        distributed-multifrontal child->parent send (one all-gather per
+        group); the relay gathers then index a replicated buffer, which
+        keeps GSPMD's scatter/gather partitioning out of the cross-group
+        traffic while the O(F^3) dense work within the group shards."""
+        if self.mesh is None:
+            return arr
+        spec = jax.sharding.PartitionSpec(*([None] * arr.ndim))
+        return jax.lax.with_sharding_constraint(
+            arr, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
     @staticmethod
     def _prec_ctx(dtype):
         """Matmul-precision context for a given factor dtype.
@@ -856,6 +957,7 @@ class NDFactorizer:
         schur_grp: dict = {}
         out = []
         for d in range(sym.ngroups - 1, -1, -1):
+            self._cur_d = d  # debug hook for MGB_ND_SHARD_ONLY
             n_d = len(sym.by_depth[d])
             F = Fn[d] * nf
             s = sym.s_pad[d] * nf
@@ -917,6 +1019,13 @@ class NDFactorizer:
                         A2, pkk_a, num_segments=n_d,
                         indices_are_sorted=True,
                     )
+                # shard the batch only AFTER assembly + relay extend-add
+                # complete: GSPMD's partitioned scatter miscomputes when
+                # a segment_sum targets an already-sharded uneven batch
+                # (measured: group-level dL=0.5 on the 8-virtual-device
+                # CPU mesh).  The O(F^3) dense work below is where the
+                # distribution pays anyway.
+                fronts = self._shard_batch(fronts)
                 if upto in ("ea", "chol"):
                     if upto == "chol":
                         if self.chol == "blocked" and s > 32:
@@ -958,11 +1067,26 @@ class NDFactorizer:
                     num_segments=nseg,
                 )
             if not relay:
-                fronts = blocks.reshape(n_d, F, F)
+                fronts = self._shard_batch(blocks.reshape(n_d, F, F))
+            if os.environ.get("MGB_ND_DEBUG_FRONTS") == "1":
+                # debug: return raw assembled fronts instead of factors
+                out.append((fronts[:n_d], fronts[:n_d, :1, :1]))
+                if sym.b_pad[d]:
+                    schur_grp[d] = self._replicate(
+                        fronts
+                    )[:n_d, s:, s:] if relay else None
+                continue
+            # fronts may carry eye-padded batch entries beyond n_d (see
+            # _shard_batch); the batched dense ops run on the padded
+            # batch, results are sliced back before leaving the group.
+            n_b = fronts.shape[0]
+            sharded = self._shards(n_d)
+            pin = self._pin_sharded if sharded else (lambda a: a)
             if self.chol == "blocked" and s > 32:
                 Ls = _chol_blocked(fronts[:, :s, :s], mm=mm)
             else:
                 Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
+            Ls = pin(Ls)
             if self.use_inv:
                 if self.tri_inv == "blocked" and s > 32:
                     Lk = _tri_inv_blocked(Ls, mm=mm)
@@ -971,22 +1095,41 @@ class NDFactorizer:
                     eye = (ar[:, None] == ar[None, :]).astype(dtype)
                     Lk = jax.scipy.linalg.solve_triangular(
                         Ls,
-                        eye[None] * jnp.ones((n_d, 1, 1), dtype),
+                        eye[None] * jnp.ones((n_b, 1, 1), dtype),
                         lower=True,
                     )
-                Lsb = mm(Lk, fronts[:, :s, s:])
+                Lk = pin(Lk)
+                Lsb = pin(mm(Lk, fronts[:, :s, s:]))
             else:
                 Lk = Ls
-                Lsb = jax.scipy.linalg.solve_triangular(
-                    Ls, fronts[:, :s, s:], lower=True
+                Lsb = pin(
+                    jax.scipy.linalg.solve_triangular(
+                        Ls, fronts[:, :s, s:], lower=True
+                    )
                 )
-            out.append((Lk, Lsb))
+            if sharded:
+                # replicate (an even all-gather) BEFORE the uneven
+                # [:n_d] slice: slicing a ragged tail out of a sharded
+                # batch is the exact uneven-shard corner the eye padding
+                # exists to avoid
+                out.append(
+                    (self._replicate(Lk)[:n_d], self._replicate(Lsb)[:n_d])
+                )
+            else:
+                out.append((Lk, Lsb))
             if sym.b_pad[d]:
                 schur = fronts[:, s:, s:] - mm(
                     jnp.swapaxes(Lsb, -1, -2), Lsb
                 )
+                schur = pin(schur)
+                if sharded:
+                    schur = self._replicate(schur)[:n_d]
                 if relay:
-                    schur_grp[d] = schur
+                    # child -> parent send: replicated so the parent
+                    # group's relay gathers stay local (see _replicate)
+                    schur_grp[d] = (
+                        schur if sharded else self._replicate(schur)
+                    )
                 else:
                     sb_flat = jax.lax.dynamic_update_slice(
                         sb_flat, schur.reshape(-1), (int(sym.sb_off[d]),)
