@@ -1,0 +1,223 @@
+"""Solver configuration registry — the documented home of every MGB_* knob.
+
+The reference's configuration surface is kwargs-only (tol/maxit/verbose/...,
+splatted tolerantly through the entry points — SURVEY.md §5.6,
+/root/reference/src/MultiGridBarrierMPI.jl:594-600).  This package keeps that
+kwargs surface for everything a *user* of the reference would set, and adds
+environment knobs for the TPU-specific engineering underneath (solver-engine
+selection, precision policy, watchdog chunking).  This module is the single
+registry of those knobs: what they mean, their default, and — critically —
+whether they shape the *compiled device programs*.
+
+``SolverOptions.from_env()`` snapshots every program-shaping knob; the
+snapshot is part of the ``_get_ctx`` cache key (solver/amgb.py), so flipping
+e.g. ``MGB_ND_LEAF`` between two solves on the same geometry builds a fresh
+context (new symbolic factorization, new jitted kernels) instead of silently
+reusing state compiled for the old value.  Pure-observability knobs are
+excluded from the snapshot so toggling logging never recompiles.
+
+Kinds:
+  kernel       shapes compiled device programs or solver routing  -> keyed
+  host         host-side control logic (refactor caps, orderings) -> keyed
+               (cheap to key; wrong reuse would still change results)
+  experimental measured-REJECTED A/B machinery kept for reproducibility of
+               the negative result (see CLAUDE.md "measured-rejected"
+               records); off by default, not production paths     -> keyed
+  observe      logging/profiling/caching only                     -> NOT keyed
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Knob:
+    kind: str  # kernel | host | experimental | observe
+    default: Optional[str]  # None = backend-dependent (resolved at read site)
+    help: str
+
+
+# Every supported MGB_* variable.  "backend-dep" defaults are resolved where
+# the knob is read (accelerator vs CPU); the registry records the *policy*.
+KNOBS = {
+    # -- solver routing + Newton loop ------------------------------------
+    "MGB_FINE_SOLVER": Knob("kernel", "nd",
+        "fine-level Newton solver: nd (on-device multifrontal) | host "
+        "(SuperLU + factor reuse) | mgcg (sharded MG-CG fallback)"),
+    "MGB_NEWTON_CHUNK": Knob("kernel", None,
+        "Newton steps per device program (1 on accelerators: the TPU "
+        "worker watchdog kills >~30s kernels; 4 on CPU)"),
+    "MGB_NEWTON_PATIENCE": Knob("kernel", "0",
+        "extra stall iterations tolerated before accepting a floor stop"),
+    "MGB_LS_ALPHA0": Knob("kernel", "damped",
+        "line-search start: damped | full (full measured-rejected: path "
+        "drifts, CLAUDE.md round-2 session-4)"),
+    # -- ND multifrontal (solver/ndsolve.py) -----------------------------
+    "MGB_ND_LEAF": Knob("kernel", "16",
+        "nested-dissection leaf size (16 measured-best on v5e; 64/128 "
+        "pay padded-front f64 flops)"),
+    "MGB_ND_BUCKET": Knob("kernel", None,
+        "split depth groups into front-size classes (1 on CPU: 2-8x "
+        "factor win; 0 on accelerators: more sequential stages lose)"),
+    "MGB_ND_EA": Knob("kernel", None,
+        "extend-add engine: relay (batch/row gathers + one-hot matmuls; "
+        "accelerator default) | fanin (flat segment_sum; CPU default)"),
+    "MGB_ND_CHOL": Knob("kernel", None,
+        "Cholesky engine: blocked (panel-matmul, accelerator default) | "
+        "xla (LAPACK custom call, CPU default)"),
+    "MGB_ND_TRIINV": Knob("kernel", None,
+        "triangular-inverse engine: blocked (block doubling) | xla"),
+    "MGB_ND_INV": Knob("kernel", None,
+        "1 = apply factors via explicit inverse (batched MXU matmuls, "
+        "accelerator default); 0 = substitution (CPU default)"),
+    "MGB_ND_RELAY_COLS": Knob("kernel", "gather",
+        "relay column selection: gather | onehot"),
+    "MGB_ND_SPLITSUM": Knob("kernel", None,
+        "split the combined per-depth segment_sum into per-source sums"),
+    "MGB_ND_PCG": Knob("kernel", None,
+        "CG-polish sweeps after each ND solve (0 on accelerators with "
+        "explicit-inverse factors — polish cannot beat the inverse floor; "
+        "2 on CPU)"),
+    "MGB_ND_PCG32": Knob("kernel", "0",
+        "run the polish sweeps in f32"),
+    "MGB_ND_MM_SLICES": Knob("kernel", "8",
+        "Ozaki-scheme slice count (only with MGB_ND_MM=ozaki)"),
+    # -- f32-preconditioned certified directions (accelerator default) ---
+    "MGB_ND_F32PC": Knob("kernel", None,
+        "1 = equilibrated+shifted f32 multifrontal factor preconditions "
+        "f64 PCG on the exact Hessian, certified at cg_rtol (accelerator "
+        "default for f64 solves: replaces a ~580ms emulated-f64 factor "
+        "with a ~53ms f32 factor; CPU default 0 — f64 factors are cheap)"),
+    "MGB_ND_F32_SHIFT": Knob("kernel", "3e-6",
+        "diagonal shift applied INSIDE the f32 preconditioner only (the "
+        "Newton direction itself is never shifted)"),
+    "MGB_ND_F32_MM_PREC": Knob("kernel", "highest",
+        "matmul precision for f32 factor traces (TPU f32 dots default to "
+        "one bf16 MXU pass; 'highest' = true f32, required for the "
+        "preconditioner to certify past t~10)"),
+    "MGB_ND_F32PC_COOLDOWN": Knob("host", "8",
+        "Newton its between f32pc retries after a failed certification"),
+    "MGB_ND_STALE_CAP": Knob("host", None,
+        "max PCG its against a stale factor before refactoring"),
+    "MGB_ND_REUSE_CAP": Knob("host", None,
+        "adaptive cap on certified-reuse attempts per factor"),
+    # -- host SuperLU path (solver/hostsolve.py) -------------------------
+    "MGB_HOST_ORDERING": Knob("host", None,
+        "SuperLU ordering override (default SymmetricMode MMD_AT_PLUS_A "
+        "+ diag_pivot_thresh=0: flat 2.8s factors where COLAMD+pivoting "
+        "blew up to 7-10s mid-path)"),
+    "MGB_HOST_STALE_CAP": Knob("host", "40",
+        "max preconditioned-CG its against a stale LU before refactoring"),
+    # -- MG-CG scale-out fallback (solver/linsolve.py) -------------------
+    "MGB_SMOOTHER": Knob("kernel", None,
+        "MG smoother: schwarz | jacobi"),
+    "MGB_SCHWARZ_LIFT": Knob("kernel", "3e-3",
+        "absolute lift on Schwarz block diagonals (3e-2 locks the path, "
+        "1e-4 mistargets Chebyshev — CLAUDE.md round-2)"),
+    "MGB_CHEB_RATIO": Knob("kernel", "8.0",
+        "Chebyshev window ratio lmax/lmin (64/512 measured shallower)"),
+    "MGB_MG_DEPTH": Knob("kernel", None, "MG cycle depth"),
+    "MGB_CYCLE_DTYPE": Knob("kernel", None,
+        "V-cycle dtype (f32 preconditioner inside f64 CG)"),
+    "MGB_SCALED_PRECOND": Knob("kernel", None,
+        "symmetric Jacobi pre-scaling before the f32 cast (required: "
+        "unscaled casts go indefinite at cond >~1e7)"),
+    "MGB_CG_RTOL": Knob("kernel", None,
+        "CG forcing term (keep tight ~1e-9: loose directions point into "
+        "the cone boundary and collapse the line search)"),
+    "MGB_CG_MAXITER": Knob("kernel", None, "CG iteration cap"),
+    "MGB_CG_QEPS": Knob("kernel", None,
+        "quadratic-model progress epsilon (MG-CG progress is measured by "
+        "the captured Newton decrement, never residual-norm tracking)"),
+    "MGB_CG_FLOOR_CAP": Knob("kernel", None,
+        "cap on CG its once the decrement floor is reached"),
+    "MGB_CG_WARMSTART": Knob("kernel", None, "warm-start CG from prev dz"),
+    # -- precision / early path ------------------------------------------
+    "MGB_F32_EARLY": Knob("kernel", None,
+        "f32 path-following for t <= MGB_T_SWITCH with f64 endgame"),
+    "MGB_T_SWITCH": Knob("kernel", None, "f32->f64 switch barrier value"),
+    # -- misc kernels ------------------------------------------------------
+    "MGB_PALLAS": Knob("kernel", "0", "enable Pallas kernels (f32 demo)"),
+    "MGB_LANE_AOP": Knob("kernel", None, "lane layout for A-op tables"),
+    "MGB_NO_NATIVE": Knob("kernel", "0",
+        "disable the C++ geometry kernels (pure-NumPy fallback)"),
+    # -- measured-REJECTED machinery (negative-result reproducibility) ---
+    "MGB_ND_MM": Knob("experimental", "xla",
+        "matmul engine; ozaki = bf16-slice f64 emulation "
+        "(experimental/ozmm.py) — REJECTED: the factor was never "
+        "flop-bound (session-8/9)"),
+    "MGB_ND_F32_TMAX": Knob("experimental", "0",
+        "direct-f32 factorization below this t — REJECTED: leaf "
+        "separators are f32-singular even at t=1e3; kept as the "
+        "control arm of the f32pc experiment"),
+    "MGB_ND_LAZY": Knob("experimental", "0",
+        "split post/pre programs to skip the wasted last factor — "
+        "REJECTED on CPU (XLA loses cross-phase fusion, +95ms/it); "
+        "TPU A/B flag (requires MGB_ND_F32PC=0)"),
+    "MGB_ND_REUSE": Knob("experimental", "0",
+        "stale-factor certified reuse — measured break-even on CPU; "
+        "1 always selects the stale-f64 leg (overrides the f32pc "
+        "accelerator default)"),
+    "MGB_PREDICT": Knob("experimental", "0",
+        "Richardson path extrapolation — REJECTED: wedges low-weight "
+        "quadrature rows onto the cone boundary, locks levels early"),
+    "MGB_PREDICT_DEBUG": Knob("experimental", "0", "predictor tracing"),
+    # -- observability / environment (never keyed) ------------------------
+    "MGB_HOST_STATS": Knob("observe", "0",
+        "per-level factor/solve/loop-phase timing prints"),
+    "MGB_ND_HEARTBEAT": Knob("observe", "0",
+        "per-group factor heartbeat prints"),
+    "MGB_ND_SHARD_ONLY": Knob("observe", None,
+        "comma list of group ids to shard (mesh-debug bisection knob)"),
+    "MGB_ND_DEBUG_FRONTS": Knob("observe", "0",
+        "return raw assembled fronts instead of factors (debug)"),
+    "MGB_COMPILE_CACHE": Knob("observe", None,
+        "persistent compile-cache directory override"),
+    "MGB_WARMUP_THREADS": Knob("observe", None,
+        "thread count for parallel level warm-up compiles"),
+    "MGB_SERIAL_WARMUP": Knob("observe", "0", "disable parallel warm-up"),
+}
+
+# Debug knobs that DO change program semantics despite being observe-kind
+# (they exist only for bisection sessions; key them so a forgotten export
+# can never leak a debug program into a cached production context).
+_KEYED_OBSERVE = ("MGB_ND_SHARD_ONLY", "MGB_ND_DEBUG_FRONTS")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Immutable snapshot of every program-shaping MGB_* knob.
+
+    Hashable — used directly in the ``_get_ctx`` cache key.  Unknown
+    ``MGB_*`` variables (not in the registry) are included conservatively:
+    an over-keyed cache costs one redundant context build; an under-keyed
+    one silently reuses kernels compiled for different semantics (the
+    round-2 stale-factorizer bug, VERDICT weak item 3).
+    """
+
+    snapshot: Tuple[Tuple[str, str], ...]
+
+    @classmethod
+    def from_env(cls) -> "SolverOptions":
+        items = []
+        for name, val in os.environ.items():
+            if not name.startswith("MGB_"):
+                continue
+            knob = KNOBS.get(name)
+            if knob is not None and knob.kind == "observe" and \
+                    name not in _KEYED_OBSERVE:
+                continue
+            if name.startswith(("MGB_BENCH_", "MGB_TESTS_", "MGB_DRYRUN_")):
+                continue  # harness plumbing, never read by solver kernels
+            items.append((name, val))
+        return cls(snapshot=tuple(sorted(items)))
+
+    def get(self, name: str) -> Optional[str]:
+        for k, v in self.snapshot:
+            if k == name:
+                return v
+        knob = KNOBS.get(name)
+        return knob.default if knob is not None else None

@@ -2232,20 +2232,19 @@ def _get_ctx(geometry, spec, barrier, c, **kw):
     # key on the linear_solver callable itself (hashable, and holding it in
     # the key keeps a strong reference — keying on id() would let GC recycle
     # the id and silently alias a context compiled for a different solver)
+    # every program-shaping MGB_* knob participates via the SolverOptions
+    # snapshot (options.py): flipping e.g. MGB_ND_LEAF between solves on
+    # the same geometry gets a fresh context (new symbolic factorization,
+    # new kernels) instead of silently reusing stale state
+    from ..options import SolverOptions
+
     key = (
         spec,
         barrier,
         kw.get("subspace", "dirichlet"),
         kw.get("linear_solver"),
         kw.get("newton_cap", 50),
-        os.environ.get("MGB_LS_ALPHA0", "damped"),
-        int(os.environ.get("MGB_NEWTON_PATIENCE", "0")),
-        int(
-            os.environ.get(
-                "MGB_NEWTON_CHUNK",
-                "1" if jax.default_backend() != "cpu" else "4",
-            )
-        ),
+        SolverOptions.from_env(),
         None if x is None else x.shape[1],
     )
     ctx = cache.get(key)

@@ -711,7 +711,7 @@ class NDFactorizer:
         self.split_sum = os.environ.get("MGB_ND_SPLITSUM", "0") == "1"
         # f64 matmul engine for the factor's cubic work: 'native' = XLA
         # dot (software-emulated f64 on TPU), 'ozaki' = error-free-split
-        # bf16 MXU passes at full f64-rounding quality (runtime/ozmm.py).
+        # bf16 MXU passes at full f64-rounding quality (experimental/ozmm.py).
         # MGB_ND_MM_SLICES trades retained bits for passes: 8 -> 57 bits
         # over 36 passes (default), 6 -> 41 bits over 21 passes — still
         # far beyond the f32 floor that broke MGB_ND_F32_TMAX.
@@ -941,7 +941,7 @@ class NDFactorizer:
         sym = self.sym
         nf = sym.nf
         if self.mm_mode == "ozaki" and dtype == jnp.float64:
-            from ..runtime import ozmm
+            from ..experimental import ozmm
 
             ns = self.mm_slices
             mm = lambda a, b: ozmm.matmul(a, b, nslice=ns)

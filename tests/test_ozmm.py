@@ -1,4 +1,4 @@
-"""Unit tests for runtime/ozmm.py — the error-free-split (Ozaki-scheme)
+"""Unit tests for experimental/ozmm.py — the error-free-split (Ozaki-scheme)
 bf16 matmul engine used by the ND factor on TPU (MGB_ND_MM=ozaki).
 
 The contract: matmul(A, B) matches the f64 product to ~1e-15 relative
@@ -10,7 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from multigridbarrier_tpu.runtime import ozmm
+from multigridbarrier_tpu.experimental import ozmm
 
 
 def _relerr(out, A, B):

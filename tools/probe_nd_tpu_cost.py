@@ -93,7 +93,7 @@ if _os.environ.get("MGB_PROBE_MM", "1") == "1":
     t32 = chained_rate("matmul f32 (16,512,512)^2", lambda a: 0.99 * (a @ M32), M32)
     Mbf = M64.astype(jnp.bfloat16)
     tbf = chained_rate("matmul bf16 (16,512,512)^2", lambda a: (a @ Mbf), Mbf, n=50)
-    from multigridbarrier_tpu.runtime import ozmm
+    from multigridbarrier_tpu.experimental import ozmm
 
     toz = chained_rate("matmul ozaki-f64 (16,512,512)^2",
                        lambda a: 0.99 * ozmm.matmul(a, M64), M64, n=10)
