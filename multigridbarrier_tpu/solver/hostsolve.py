@@ -1,6 +1,14 @@
-"""Host sparse direct Newton solver with factor reuse — the fine-level
-MUMPS replacement (SURVEY.md §3.5) for subspaces too large for the
-on-device dense Cholesky.
+"""Host sparse direct Newton solver with factor reuse — one of the
+fine-level MUMPS replacements (SURVEY.md §3.5) for subspaces too large
+for the on-device dense Cholesky.
+
+Place in the CURRENT solver hierarchy (amgb._run_level routing): the
+production default for fine levels is the ON-DEVICE nested-dissection
+multifrontal solver (`solver/ndsolve.py`, MGB_FINE_SOLVER=nd) — this
+host-SuperLU path is the `MGB_FINE_SOLVER=host` alternative (useful on
+CPU backends and as an exact-direction A/B reference), and
+`MGB_FINE_SOLVER=mgcg` (`solver/linsolve.py`) is the sharded scale-out
+fallback.  Coarse levels always use the dense Cholesky+IR solver.
 
 Why a HOST direct solver on a TPU framework
 -------------------------------------------

@@ -1,10 +1,19 @@
-"""Newton linear solvers — the MUMPS/cuDSS replacement (SURVEY.md §2.4).
+"""Dense + MG-CG Newton linear solvers (part of the MUMPS/cuDSS
+replacement, SURVEY.md §2.4).
 
-No sparse direct solver exists on TPU; instead the Newton system
+Place in the CURRENT solver hierarchy (amgb._run_level routing): coarse
+levels (nf*m <= dense_threshold) use this module's dense Cholesky+IR;
+fine levels default to the on-device nested-dissection multifrontal
+solver (`solver/ndsolve.py`, MGB_FINE_SOLVER=nd), with
+`MGB_FINE_SOLVER=host` (`solver/hostsolve.py`) and this module's
+MG-CG (`=mgcg`, the sharded scale-out fallback — measured
+accuracy-limited ~6e-5 relative at L>=6) as alternatives.
+
+The Newton system
 
     H = R' (D' diag(w .* F2) D) R      (SPD on the barrier interior)
 
-is solved per level in one of two ways, chosen statically by subspace size:
+is solved here in one of two ways, chosen statically by subspace size:
 
 * dense: the per-element Hessians are scatter-added into a global dense
   matrix and factored with Cholesky (coarse levels; MXU-friendly, exact).
