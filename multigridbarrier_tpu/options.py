@@ -100,6 +100,11 @@ KNOBS = {
         "preconditioner to certify past t~10)"),
     "MGB_ND_F32PC_COOLDOWN": Knob("host", "8",
         "Newton its between f32pc retries after a failed certification"),
+    "MGB_ND_FUSED_GATE": Knob("kernel", "1",
+        "1 = the f32pc certification gate runs ON DEVICE inside one "
+        "fused per-iteration program (post+pre+attempt+lax.cond f64 "
+        "fallback) — saves cross-program fusion and the serialized "
+        "gate RTT; 0 = split host-gated programs (_run_level_nd_reuse)"),
     "MGB_ND_STALE_CAP": Knob("host", None,
         "max PCG its against a stale factor before refactoring"),
     "MGB_ND_REUSE_CAP": Knob("host", None,

@@ -1201,6 +1201,82 @@ class _SolverCtx:
                 nd_dir_r=jax.jit(nd_dir_r),
                 nd_dir_f32=jax.jit(nd_dir_f32),
             )
+
+            if dtype == jnp.float64:
+                # -- fused-gate programs (_run_level_nd_auto) -------------
+                # The f32pc certification gate moves ON DEVICE: one jitted
+                # program per Newton iteration = post + pre + f32pc attempt
+                # + lax.cond(gate failed -> fresh f64 direction), in every
+                # regime.  Motivation (round-2/3 measurements): XLA loses
+                # ~95ms/it of cross-program fusion at program boundaries
+                # (the MGB_ND_LAZY rejection), and the split shape pays one
+                # extra serialized ~43ms RTT whenever the host must see the
+                # certification scalars before dispatching the f64
+                # direction (every endgame iteration).  lax.cond executes
+                # only the taken branch on TPU, so a certified cheap step
+                # never pays the emulated-f64 factor.  Host policy
+                # (cooldown, adaptive cap) still decides `try_cheap` one
+                # step ahead — it needs no device data to do so.  The gate
+                # quantity and threshold are IDENTICAL to the host form in
+                # _run_level_nd_reuse, so accepted directions are exactly
+                # as converged; only program packaging changes.
+                f64_direction = make_direction(None, n_cg)
+                rtol_gate = self.cg_rtol * 1.0001
+
+                def dir_auto(vals, gv, cst, try_cheap, cap, delta):
+                    def attempt(_):
+                        d32, its, rel = nd_dir_f32(vals, gv, cst, cap,
+                                                   delta)
+                        ok = rel <= rtol_gate
+                        d = jax.lax.cond(
+                            ok,
+                            lambda dd: dd,
+                            lambda dd: f64_direction(vals, gv, cst),
+                            d32,
+                        )
+                        return d, its, rel, ok
+
+                    def direct(_):
+                        d = f64_direction(vals, gv, cst)
+                        return (
+                            d,
+                            jnp.int32(0),
+                            jnp.zeros((), d.dtype),
+                            jnp.asarray(False),
+                        )
+
+                    return jax.lax.cond(try_cheap, attempt, direct, None)
+
+                def auto_init(Pl, basis_l, x, w, c, z, t, full_ids, cst,
+                              try_cheap, cap, delta):
+                    vals, gv, y, cy, fy0 = pre(
+                        Pl, basis_l, x, w, c, z, t, full_ids
+                    )
+                    dvp, its, rel, ok = dir_auto(
+                        vals, gv, cst, try_cheap, cap, delta
+                    )
+                    return gv, y, cy, fy0, dvp, its, rel, ok
+
+                def auto_step(Pl, basis_l, rloc, x, w, c, z, t, y, cy,
+                              fy0, gv, dvp, full_ids, cst, try_cheap,
+                              cap, delta):
+                    z_new, lam2, alpha, dphi = post(
+                        Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy,
+                        fy0, gv, dvp,
+                    )
+                    vals2, gv2, y2, cy2, fy02 = pre(
+                        Pl, basis_l, x, w, c, z_new, t, full_ids
+                    )
+                    dvp2, its, rel, ok = dir_auto(
+                        vals2, gv2, cst, try_cheap, cap, delta
+                    )
+                    return (z_new, lam2, alpha, dphi, gv2, y2, cy2,
+                            fy02, dvp2, its, rel, ok)
+
+                h.update(
+                    nd_init_auto=jax.jit(auto_init),
+                    nd_step_auto=jax.jit(auto_step),
+                )
         return h
 
     def _stop_code(self, tr, kg, lam2, alpha, phi0, theta2, eps):
@@ -1336,11 +1412,15 @@ class _SolverCtx:
         small scalar fetch for the stop logic — no vals/rhs transfers,
         no host factorization.  Stop logic mirrors _run_level_host."""
         if float(t) > float(os.environ.get("MGB_ND_F32_TMAX", "0")):
-            # f32pc routes through the reuse runner only for f64 solves
-            # (an f32 solve can never certify at cg_rtol — ADVICE r2)
-            if os.environ.get("MGB_ND_REUSE", "0") == "1" or (
-                _f32pc_on() and z.dtype == jnp.float64
-            ):
+            # f32pc routes through the fused-gate/reuse runners only for
+            # f64 solves (an f32 solve can never certify at cg_rtol —
+            # ADVICE r2).  An explicit MGB_ND_REUSE=1 always means the
+            # stale-f64-factor leg of the reuse runner.
+            if os.environ.get("MGB_ND_REUSE", "0") == "1":
+                return self._run_level_nd_reuse(level, z, t, theta2)
+            if _f32pc_on() and z.dtype == jnp.float64:
+                if os.environ.get("MGB_ND_FUSED_GATE", "1") == "1":
+                    return self._run_level_nd_auto(level, z, t, theta2)
                 return self._run_level_nd_reuse(level, z, t, theta2)
             if os.environ.get("MGB_ND_LAZY", "0") == "1":
                 return self._run_level_nd_lazy(level, z, t, theta2)
@@ -1621,6 +1701,140 @@ class _SolverCtx:
             print(
                 f"# nd-reuse[level={level}] t={t:.3e} its={kg} "
                 f"factors={n_factor} reused={n_reuse} "
+                f"loop={_time.perf_counter() - t_loop0:.2f}s",
+                file=sys.stderr,
+            )
+        tr_cat = {key: np.asarray(v, np.float64) for key, v in tr.items()}
+        return z, kg, code, tr_cat
+
+    def _run_level_nd_auto(self, level: int, z, t, theta2: float):
+        """f32pc Newton iteration with the certification gate ON DEVICE
+        (MGB_ND_FUSED_GATE=1, the accelerator default): ONE fused device
+        program per iteration — post + pre + shifted-f32-preconditioned
+        certified PCG attempt + lax.cond fallback to the fresh f64
+        factor direction — and one blocking scalar device_get.  Gate
+        quantity/threshold, direction math and host cooldown policy are
+        identical to _run_level_nd_reuse's f32pc mode (see dir_auto in
+        _get_nd); stop logic is the shared _stop_code."""
+        h = self._get_nd(level)
+        init, step = h["nd_init_auto"], h["nd_step_auto"]
+        full_ids = h["nd_full_ids"]
+        cst = h["nd_consts"]
+        basis = self._bases[level]
+        Pl = self._P[level]
+        rloc = basis.rloc
+        dtype = z.dtype
+        t_arr = jnp.asarray(t, dtype=dtype)
+        eps = float(np.finfo(np.asarray(z).dtype).eps)
+        cap_max = int(os.environ.get("MGB_ND_REUSE_CAP", "60"))
+        rtol = self.cg_rtol * 1.0001
+
+        import time as _time
+
+        def _retry(fn, *args):
+            for attempt in range(3):
+                try:
+                    return fn(*args)
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == 2 or not any(
+                        s in str(e) for s in self._RETRYABLE
+                    ):
+                        raise
+                    _time.sleep(10.0 * (attempt + 1))
+
+        tr = {
+            key: []
+            for key in ("lam2", "alpha", "phi", "dphi", "cy", "cgits", "cgrel")
+        }
+        code = self.RUNNING
+        kg = 0
+        n_factor = n_reuse = 0
+        t_loop0 = _time.perf_counter()
+        # host policy state — same constants/updates as the reuse runner
+        cap_now = min(cap_max, 40)
+        fail_streak = 0
+        cd0 = int(os.environ.get("MGB_ND_F32PC_COOLDOWN", "8"))
+        cd_max = 64
+        cooldown, cooldown_left = cd0, 0
+        delta_pc = jnp.float32(
+            float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
+        )
+
+        def _policy_update(tried, ok, cgits):
+            nonlocal fail_streak, cooldown, cooldown_left, cap_now
+            nonlocal n_factor, n_reuse
+            if not tried:
+                n_factor += 1
+                return
+            if ok:
+                n_reuse += 1
+                fail_streak = 0
+                cooldown = cd0
+                cap_now = min(cap_max, max(8, 2 * int(cgits) + 4))
+            else:
+                n_factor += 1
+                fail_streak += 1
+                if fail_streak >= 2:
+                    cooldown_left = cooldown
+                    cooldown = min(2 * cooldown, cd_max)
+
+        gv, y, cy, fy0, dvp, its_d, rel_d, ok_d = _retry(
+            init, Pl, basis, self.x, self.w, self.c, z, t_arr,
+            full_ids, cst, True, jnp.int32(cap_now), delta_pc,
+        )
+        cyf, fy0f, its_a, rel_a, ok_a = jax.device_get(
+            (cy, fy0, its_d, rel_d, ok_d)
+        )
+        _policy_update(True, bool(ok_a), float(its_a))
+        while True:
+            # decide THIS step's attempt policy (host state only)
+            if fail_streak >= 2 and cd0 > 0 and cooldown_left == 0:
+                fail_streak = 1  # cooled down: grant one retry
+            try_cheap = fail_streak < 2
+            if not try_cheap and cooldown_left > 0:
+                cooldown_left -= 1
+            (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
+             its_d, rel_d, ok_d) = _retry(
+                step, Pl, basis, rloc, self.x, self.w, self.c, z,
+                t_arr, y, cy, fy0, gv, dvp, full_ids, cst,
+                try_cheap, jnp.int32(cap_now), delta_pc,
+            )
+            (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a,
+             ok_a) = jax.device_get(
+                (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d, ok_d)
+            )
+            cgits, cgrel = float(its_a), float(rel_a)
+            _policy_update(try_cheap, bool(ok_a), cgits)
+            lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
+            if os.environ.get("MGB_ND_HEARTBEAT"):
+                print(
+                    f"# newton L{level} it={kg} lam2={lam2:.3e} "
+                    f"alpha={alpha:.3f} cg={cgits:.0f}/{cgrel:.1e} "
+                    f"try={int(try_cheap)} ok={int(bool(ok_a))} "
+                    f"wall={_time.time():.1f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            phi0 = float(t) * float(cyf) + float(fy0f)
+            tr["lam2"].append(lam2)
+            tr["alpha"].append(alpha)
+            tr["phi"].append(phi0)
+            tr["dphi"].append(dphi)
+            tr["cy"].append(float(cyf))
+            tr["cgits"].append(cgits)
+            tr["cgrel"].append(cgrel)
+            cyf, fy0f = cy_a, fy0_a
+            code = self._stop_code(tr, kg, lam2, alpha, phi0, theta2, eps)
+            kg += 1
+            if code != self.RUNNING:
+                break
+            if kg >= self.newton_cap:
+                code = self.CAPPED
+                break
+        if os.environ.get("MGB_HOST_STATS"):
+            print(
+                f"# nd-auto[level={level}] t={t:.3e} its={kg} "
+                f"factors={n_factor} certified={n_reuse} "
                 f"loop={_time.perf_counter() - t_loop0:.2f}s",
                 file=sys.stderr,
             )
