@@ -52,6 +52,11 @@ KNOBS = {
         "worker watchdog kills >~30s kernels; 4 on CPU)"),
     "MGB_NEWTON_PATIENCE": Knob("kernel", "0",
         "extra stall iterations tolerated before accepting a floor stop"),
+    "MGB_STALL_WIN": Knob("kernel", "2",
+        "quadratic-region plateau window W: stall when min(lam2 over "
+        "last W) fails to beat 0.95*min(lam2 over the W before); "
+        "smaller W accepts the arithmetic floor sooner (W=2 measured "
+        "objective-identical at L=5/6, -27% fine its at L=7)"),
     "MGB_LS_ALPHA0": Knob("kernel", "damped",
         "line-search start: damped | full (full measured-rejected: path "
         "drifts, CLAUDE.md round-2 session-4)"),
@@ -140,6 +145,15 @@ KNOBS = {
     "MGB_CG_FLOOR_CAP": Knob("kernel", None,
         "cap on CG its once the decrement floor is reached"),
     "MGB_CG_WARMSTART": Knob("kernel", None, "warm-start CG from prev dz"),
+    "MGB_CG_DEFLATE": Knob("kernel", "8",
+        "Ritz-deflated MG-CG restart: harvest the preconditioned Lanczos "
+        "process from the first CG phase, deflate the k extreme Ritz "
+        "vectors (Vuik/Nicolaides projection) and restart; fixes the "
+        "measured ~6e-5 depth ceiling of the smoothed operator's outlier "
+        "modes (0 disables)"),
+    "MGB_CG_HARVEST": Knob("kernel", "40",
+        "CG iterations in the Lanczos-harvest phase before the deflated "
+        "restart"),
     # -- precision / early path ------------------------------------------
     "MGB_F32_EARLY": Knob("kernel", None,
         "f32 path-following for t <= MGB_T_SWITCH with f64 endgame"),

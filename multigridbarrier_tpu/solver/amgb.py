@@ -271,6 +271,17 @@ class _SolverCtx:
         if newton_patience is None:
             newton_patience = int(os.environ.get("MGB_NEWTON_PATIENCE", "0"))
         self.newton_patience = newton_patience
+        # Quadratic-region plateau window W (MGB_STALL_WIN): the stall
+        # detector compares min(lam2 over last W its) against min(lam2
+        # over the W before those); at the arithmetic floor lam2 bounces
+        # in a band, so smaller W accepts the floor sooner.  Measured
+        # (round 3): W=2 vs W=3 gives IDENTICAL objectives at fem2d L=5
+        # (27.3607025315) and L=6 (15.4183231432) and lands inside the
+        # documented floor-stop band at L=7 (9.4157477 vs band
+        # 9.415747-9.415769, ~2e-6 rel) with 123 vs 169 fine its (-27%)
+        # — the endgame t-stages were spending 5-9 iterations past the
+        # last productive step re-confirming the plateau.
+        self.stall_win = int(os.environ.get("MGB_STALL_WIN", "2"))
         # Device-kernel chunk size for the Newton loop (see _build_loop).
         # On accelerator backends the default is 1: the axon TPU worker
         # kills long-running kernels ("kernel fault"), and a mid-path
@@ -549,7 +560,7 @@ class _SolverCtx:
         # see continuous history; kg0 is the global iteration offset that
         # keeps their warm-up guards global.
         chunk = self.newton_chunk
-        HIST = 5
+        HIST = max(5, 2 * self.stall_win - 1)
 
         def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2, lmax0,
                  hist0, kg0, dv0):
@@ -620,12 +631,17 @@ class _SolverCtx:
                 #   wrong solutions).  There, only a phi-progress floor
                 #   (decrease at the |phi|*eps noise level) counts.
                 kg = kg0 + (k - HIST)  # global iteration index
-                recent3 = jax.lax.dynamic_slice(tr["lam2"], (k - 2,), (3,))
-                prev3 = jax.lax.dynamic_slice(tr["lam2"], (k - 5,), (3,))
+                W = self.stall_win  # static at trace time
+                recentW = jax.lax.dynamic_slice(
+                    tr["lam2"], (k - (W - 1),), (W,)
+                )
+                prevW = jax.lax.dynamic_slice(
+                    tr["lam2"], (k - (2 * W - 1),), (W,)
+                )
                 stall_quad = (
-                    (kg >= 5)
+                    (kg >= 2 * W - 1)
                     & (lam2 <= 0.25)
-                    & (jnp.min(recent3) >= 0.95 * jnp.min(prev3))
+                    & (jnp.min(recentW) >= 0.95 * jnp.min(prevW))
                 )
                 eps = jnp.asarray(jnp.finfo(z0.dtype).eps, dtype=z0.dtype)
                 dphi3 = jax.lax.dynamic_slice(tr["dphi"], (k - 2,), (3,))
@@ -1292,10 +1308,11 @@ class _SolverCtx:
         caller still owns the newton_cap bound (CAPPED).
         """
         l2 = tr["lam2"]
+        W = self.stall_win
         stall_quad = (
-            kg >= 5
+            kg >= 2 * W - 1
             and lam2 <= 0.25
-            and min(l2[-3:]) >= 0.95 * min(l2[-6:-3])
+            and min(l2[-W:]) >= 0.95 * min(l2[-2 * W:-W])
         )
         floor = 64.0 * eps * (abs(phi0) + 1.0)
         stall_floor = kg >= 2 and max(
@@ -2067,7 +2084,7 @@ class _SolverCtx:
         Ps, idxs, embeds, rloc = self._level_args(level)
         import time as _time
 
-        HIST = 5
+        HIST = max(5, 2 * self.stall_win - 1)
         dtype = z.dtype
         t_arr = jnp.asarray(t, dtype=dtype)
         th_arr = jnp.asarray(theta2, dtype=dtype)
@@ -2375,13 +2392,47 @@ def _path_follow(
     # Final polish at the finest level: fully center at t_end so that
     # independent runs (1 vs N devices) agree to Newton tolerance
     # (the reference's 1e-10 MPI-vs-native invariant, test/test_quick.jl:137).
+    # If the fine level's t_end stage already ended AT the arithmetic
+    # floor (STALLED plateau or LOCKED line search), re-running the
+    # identical computation with a tighter lam2 target cannot move the
+    # iterate — the polish just burns >= 2W iterations re-detecting the
+    # same floor because the stall windows restart with fresh history
+    # (measured at fem2d L=7 on v5e: 7-9 polish its, lam2 plateau
+    # unchanged at ~0.06, ~6-8s of wall).  Only a CONVERGED stage
+    # (lam2 <= theta^2 with room down to final_lam2) can be centered
+    # further, so only that case polishes.
     if early_stop is None:
-        emit(f"[amgb:{phase}] final polish t={t:.4e} target lam2={final_lam2:.3e}")
-        z_new, nits, code, tr = ctx.run_level(L - 1, z, t, final_lam2)
-        emit(f"[amgb:{phase}] polish done its={nits} code={code}")
-        if code != _SolverCtx.DIVERGED:
-            z = z_new
-            its[L - 1] += nits
+        if code in (_SolverCtx.STALLED, _SolverCtx.LOCKED):
+            emit(
+                f"[amgb:{phase}] final polish skipped: fine level already "
+                f"at the arithmetic floor (code={code})"
+            )
+        else:
+            emit(
+                f"[amgb:{phase}] final polish t={t:.4e} "
+                f"target lam2={final_lam2:.3e}"
+            )
+            # The polish starts from a CONVERGED iterate (lam2 <= theta^2)
+            # and its centering gain is captured in the first 1-2 steps
+            # (lam2 0.25 -> the ~0.06 arithmetic floor); everything after
+            # is floor noise until the stall windows fire (measured fem2d
+            # L=7 v5e: polish lam2 trace 0.062, 0.061, 0.068, ... for 7-9
+            # its).  c_dot_Dz is recorded per t-stage BEFORE the polish,
+            # so a tight cap changes only how long the floor is ground,
+            # never the reported objective.  The cap is host-side state —
+            # no program reshaping (the traced loops bound only the chunk).
+            cap_save = ctx.newton_cap
+            ctx.newton_cap = min(cap_save, max(4, 2 * ctx.stall_win))
+            try:
+                z_new, nits, code, tr = ctx.run_level(
+                    L - 1, z, t, final_lam2
+                )
+            finally:
+                ctx.newton_cap = cap_save
+            emit(f"[amgb:{phase}] polish done its={nits} code={code}")
+            if code != _SolverCtx.DIVERGED:
+                z = z_new
+                its[L - 1] += nits
 
     t_elapsed = time.perf_counter() - t_start
     return z, PhaseLog(
