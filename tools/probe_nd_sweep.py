@@ -82,39 +82,44 @@ def vals_for(sym, rng):
 CASES_ALL = {
     "knobs": [
         # (label, leaf, env overrides)
-        ("leaf16 baseline", 16, {}),
+        ("leaf16 baseline", 16, {"MGB_ND_CHOL": "xla"}),
         ("leaf16 chol=blocked", 16, {"MGB_ND_CHOL": "blocked"}),
-        ("leaf16 splitsum", 16, {"MGB_ND_SPLITSUM": "1"}),
-        ("leaf64", 64, {}),
+        ("leaf16 splitsum", 16, {"MGB_ND_CHOL": "xla", "MGB_ND_SPLITSUM": "1"}),
+        ("leaf64", 64, {"MGB_ND_CHOL": "xla"}),
         ("leaf64 chol=blocked", 64, {"MGB_ND_CHOL": "blocked"}),
         ("leaf128 chol=blocked", 128, {"MGB_ND_CHOL": "blocked"}),
     ],
     "relay": [
-        ("leaf16 relay", 16, {"MGB_ND_EA": "relay"}),
+        ("leaf16 relay", 16, {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla"}),
         ("leaf16 relay cols=gather", 16,
-         {"MGB_ND_EA": "relay", "MGB_ND_RELAY_COLS": "gather"}),
-        ("leaf64 relay", 64, {"MGB_ND_EA": "relay"}),
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla",
+          "MGB_ND_RELAY_COLS": "gather"}),
+        ("leaf64 relay", 64, {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla"}),
         ("leaf64 relay chol=blocked", 64,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
         ("leaf128 relay chol=blocked", 128,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
         # f32 factor rate (the MGB_ND_F32PC preconditioner lever)
-        ("leaf64 relay f32", 64, {"MGB_ND_EA": "relay", "_F32": "1"}),
+        ("leaf64 relay f32", 64,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla", "_F32": "1"}),
     ],
     "relay_stages": [
-        ("stage asm", 16, {"MGB_ND_EA": "relay", "_UPTO": "asm"}),
-        ("stage ea", 16, {"MGB_ND_EA": "relay", "_UPTO": "ea"}),
-        ("stage chol", 16, {"MGB_ND_EA": "relay", "_UPTO": "chol"}),
-        ("stage full", 16, {"MGB_ND_EA": "relay"}),
+        ("stage asm", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla", "_UPTO": "asm"}),
+        ("stage ea", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla", "_UPTO": "ea"}),
+        ("stage chol", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla", "_UPTO": "chol"}),
+        ("stage full", 16, {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla"}),
     ],
     # Session-9 verdict: the v5e factor is f64-EMULATION-bound, not
     # latency-bound — bigger leaves measured WORSE (leaf64 relay 995ms
     # vs leaf16 relay 632ms: the padded-front f64 flops swamp the two
     # saved depths).  Set kept as the negative-result record.
     "leafscan": [
-        ("leaf64 relay", 64, {"MGB_ND_EA": "relay"}),
-        ("leaf128 relay", 128, {"MGB_ND_EA": "relay"}),
-        ("leaf256 relay", 256, {"MGB_ND_EA": "relay"}),
+        ("leaf64 relay", 64, {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla"}),
+        ("leaf128 relay", 128, {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla"}),
+        ("leaf256 relay", 256, {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla"}),
         ("leaf256 relay chol=blocked", 256,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
     ],
@@ -148,7 +153,8 @@ CASES_ALL = {
         ("leaf16 relay chol=blocked bucket", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
           "MGB_ND_BUCKET": "1"}),
-        ("leaf16 relay f32", 16, {"MGB_ND_EA": "relay", "_F32": "1"}),
+        ("leaf16 relay f32", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "xla", "_F32": "1"}),
         ("leaf16 relay f32 chol=blocked", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_F32": "1"}),
     ],
