@@ -112,6 +112,17 @@ KNOBS = {
         "gate RTT; 0 = split host-gated programs (_run_level_nd_reuse)"),
     "MGB_ND_STALE_CAP": Knob("host", None,
         "max PCG its against a stale factor before refactoring"),
+    "MGB_ND_STALE_GATE": Knob("kernel", "1",
+        "endgame stale-factor engine of the fused-gate runner: once the "
+        "f32 engine retires, PCG preconditioned by the last f64 factor, "
+        "certified at the fresh factor's own measured residual floor "
+        "(max(cg_rtol, margin*rel_fresh)); 0 = fresh f64 factor every "
+        "step (the round-2 behavior)"),
+    "MGB_ND_STALE_MARGIN": Knob("host", "1.5",
+        "stale-engine gate margin over the fresh factor's measured "
+        "achieved relative residual"),
+    "MGB_ND_STALE_PCG_CAP": Knob("host", "16",
+        "max PCG its per stale-engine attempt (adaptive below this)"),
     "MGB_ND_REUSE_CAP": Knob("host", None,
         "adaptive cap on certified-reuse attempts per factor"),
     # -- host SuperLU path (solver/hostsolve.py) -------------------------
@@ -154,6 +165,10 @@ KNOBS = {
     "MGB_CG_HARVEST": Knob("kernel", "40",
         "CG iterations in the Lanczos-harvest phase before the deflated "
         "restart"),
+    "MGB_CG_DEFLATE_LO": Knob("kernel", "0",
+        "how many of the k deflated Ritz pairs come from the SMALL end "
+        "of the spectrum (default 0: top-only — half-converged small "
+        "Ritz vectors measured-SHALLOWER, see linsolve.mgcg_solve)"),
     # -- precision / early path ------------------------------------------
     "MGB_F32_EARLY": Knob("kernel", None,
         "f32 path-following for t <= MGB_T_SWITCH with f64 endgame"),

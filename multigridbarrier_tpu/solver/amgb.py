@@ -1293,6 +1293,158 @@ class _SolverCtx:
                     nd_init_auto=jax.jit(auto_init),
                     nd_step_auto=jax.jit(auto_step),
                 )
+
+                # -- stale-factor endgame program (nd_step_stale) ---------
+                # Past t ~ 1e4 the f32 preconditioner stops certifying
+                # (eps32*cond >> 1) and every Newton step pays a fresh
+                # emulated-f64 factor (~607ms at fem2d L=7 on v5e, the
+                # dominant endgame cost).  Observation: the 1e-9 gate is
+                # unreachable there by ANY method — the fresh factor's own
+                # direct solve achieves relres ~ eps*cond >> cg_rtol and
+                # is accepted ungated (the damped line search + stop rule
+                # absorb floor-quality directions, linsolve.dense_solve
+                # semantics).  So certify the CHEAP direction against the
+                # direct method's own measured floor instead: the direct
+                # branch returns its achieved relres (one extra matvec),
+                # and subsequent steps run PCG preconditioned by the
+                # STALE factor, gated at max(cg_rtol, margin*rel_fresh).
+                # An accepted stale direction has residual within
+                # `margin` of what a fresh factorization would achieve —
+                # the same certification quantity at the same floor, for
+                # a few ~70ms solve sweeps instead of a ~607ms factor.
+                # By self-concordance consecutive endgame Hessians are
+                # spectrally close (alpha <= 1 steps of shrinking size),
+                # so the stale-preconditioned PCG reaches that floor in
+                # O(1) iterations; when it cannot, the in-program
+                # lax.cond fallback refactors and re-measures the floor.
+                dir_fresh = make_direction(None, n_cg, return_fac=True)
+
+                def _rel_of(vals, gv, dvp, cst):
+                    b = -gv[:, :m].T.reshape(-1)
+                    xv = dvp[:, :m].T.reshape(-1)
+                    r = b - matvec(vals, xv, cst)
+                    bb = jnp.vdot(b, b)
+                    return jnp.sqrt(
+                        jnp.abs(jnp.vdot(r, r))
+                        / jnp.maximum(bb, 1e-300)
+                    )
+
+                def dir_stale_gate(vals, gv, fac_in, cst, try_cheap, cap,
+                                   gate):
+                    def fresh(_):
+                        d, fac = dir_fresh(vals, gv, cst)
+                        relf = _rel_of(vals, gv, d, cst)
+                        return (d, jnp.int32(0), jnp.zeros((), d.dtype),
+                                jnp.asarray(False), fac, relf)
+
+                    def attempt(_):
+                        b = -gv[:, :m].T.reshape(-1)
+                        ndc = cst["nd"]
+
+                        def apply_fac(r):
+                            return fz.solve(fac_in, r, ndc).astype(
+                                r.dtype
+                            )
+
+                        bb = jnp.vdot(b, b)
+                        tol2 = (gate * gate) * bb
+                        xv = apply_fac(b)
+                        r0 = b - matvec(vals, xv, cst)
+                        zv0 = apply_fac(r0)
+                        st0 = (xv, r0, zv0, jnp.vdot(r0, zv0),
+                               jnp.vdot(r0, r0), jnp.int32(0))
+
+                        def cnd(st):
+                            _, _, _, _, rr, it = st
+                            return jnp.isfinite(rr) & (rr > tol2) & (
+                                it < cap
+                            )
+
+                        def bdy(st):
+                            xv, r, p, rz, rr, it = st
+                            Ap = matvec(vals, p, cst)
+                            pAp = jnp.vdot(p, Ap)
+                            okv = (
+                                jnp.isfinite(pAp) & (pAp > 0)
+                                & jnp.isfinite(rz) & (rz > 0)
+                            )
+                            al = jnp.where(
+                                okv, rz / jnp.where(okv, pAp, 1.0), 0.0
+                            )
+                            xv = xv + al * p
+                            r = r - al * Ap
+                            zv = apply_fac(r)
+                            rz2 = jnp.vdot(r, zv)
+                            beta = jnp.where(
+                                okv & (rz2 > 0),
+                                rz2 / jnp.where(okv, rz, 1.0),
+                                0.0,
+                            )
+                            p = jnp.where(okv, zv + beta * p, p)
+                            rr2 = jnp.where(okv, jnp.vdot(r, r), jnp.inf)
+                            return xv, r, p, rz2, rr2, it + 1
+
+                        xv, _, _, _, rr, it = jax.lax.while_loop(
+                            cnd, bdy, st0
+                        )
+                        rel = jnp.sqrt(
+                            jnp.abs(rr) / jnp.maximum(bb, 1e-300)
+                        )
+                        rel = jnp.where(
+                            jnp.all(jnp.isfinite(xv)), rel, jnp.inf
+                        )
+                        okg = rel <= gate
+                        dvp_c = jnp.concatenate(
+                            [
+                                xv.reshape(m, nf).T,
+                                jnp.zeros((nf, 1), xv.dtype),
+                            ],
+                            axis=1,
+                        )
+
+                        def keep(_):
+                            return (dvp_c, it, rel, jnp.asarray(True),
+                                    fac_in, jnp.asarray(-1.0, rel.dtype))
+
+                        def fallback(_):
+                            d, its0, rel0, ok0, fac, relf = fresh(None)
+                            return d, it, rel, ok0, fac, relf
+
+                        return jax.lax.cond(okg, keep, fallback, None)
+
+                    return jax.lax.cond(try_cheap, attempt, fresh, None)
+
+                def stale_step(Pl, basis_l, rloc, x, w, c, z, t, y, cy,
+                               fy0, gv, dvp, full_ids, cst, fac_in,
+                               try_cheap, cap, gate):
+                    z_new, lam2, alpha, dphi = post(
+                        Pl, basis_l.idx, rloc, x, w, c, z, t, y, cy,
+                        fy0, gv, dvp,
+                    )
+                    vals2, gv2, y2, cy2, fy02 = pre(
+                        Pl, basis_l, x, w, c, z_new, t, full_ids
+                    )
+                    dvp2, its, rel, ok, fac, relf = dir_stale_gate(
+                        vals2, gv2, fac_in, cst, try_cheap, cap, gate
+                    )
+                    return (z_new, lam2, alpha, dphi, gv2, y2, cy2,
+                            fy02, dvp2, its, rel, ok, fac, relf)
+
+                # zero-filled factor pytree with the production factor's
+                # exact structure: seeds fac_in for the first stale-mode
+                # step (its try_cheap=False fresh branch ignores it; the
+                # lax.cond still requires a structurally valid operand)
+                fac_shapes = jax.eval_shape(
+                    lambda v, g: dir_fresh(v, g, consts)[1],
+                    jax.ShapeDtypeStruct((nf * nf * nuniq,), dtype),
+                    jax.ShapeDtypeStruct((nf, m + 1), dtype),
+                )
+                h.update(
+                    nd_step_stale=jax.jit(stale_step),
+                    nd_fac_zero=lambda: jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), fac_shapes
+                    ),
+                )
         return h
 
     def _stop_code(self, tr, kg, lam2, alpha, phi0, theta2, eps):
@@ -1727,14 +1879,25 @@ class _SolverCtx:
     def _run_level_nd_auto(self, level: int, z, t, theta2: float):
         """f32pc Newton iteration with the certification gate ON DEVICE
         (MGB_ND_FUSED_GATE=1, the accelerator default): ONE fused device
-        program per iteration — post + pre + shifted-f32-preconditioned
-        certified PCG attempt + lax.cond fallback to the fresh f64
-        factor direction — and one blocking scalar device_get.  Gate
-        quantity/threshold, direction math and host cooldown policy are
-        identical to _run_level_nd_reuse's f32pc mode (see dir_auto in
-        _get_nd); stop logic is the shared _stop_code."""
+        program per iteration — post + pre + cheap-direction attempt +
+        lax.cond fallback to the fresh f64 factor direction — and one
+        blocking scalar device_get.  Two cheap engines, switched by host
+        policy within a (level, t) run:
+
+        * f32 (nd_step_auto): fresh shifted-f32 factor preconditioning
+          f64 PCG certified at cg_rtol — carries the mid path (t <~ 1e4)
+          where eps32*cond << 1.  Gate/threshold identical to
+          _run_level_nd_reuse's f32pc mode.
+        * stale (nd_step_stale): after the f32 engine fails twice, PCG
+          preconditioned by the LAST f64 factor, gated at
+          max(cg_rtol, margin*rel_fresh) where rel_fresh is the fresh
+          factor's own measured achieved residual — the endgame floor
+          certification (rationale at nd_step_stale in _get_nd).
+
+        Stop logic is the shared _stop_code."""
         h = self._get_nd(level)
         init, step = h["nd_init_auto"], h["nd_step_auto"]
+        step_stale = h["nd_step_stale"]
         full_ids = h["nd_full_ids"]
         cst = h["nd_consts"]
         basis = self._bases[level]
@@ -1745,6 +1908,9 @@ class _SolverCtx:
         eps = float(np.finfo(np.asarray(z).dtype).eps)
         cap_max = int(os.environ.get("MGB_ND_REUSE_CAP", "60"))
         rtol = self.cg_rtol * 1.0001
+        stale_on = os.environ.get("MGB_ND_STALE_GATE", "1") == "1"
+        stale_margin = float(os.environ.get("MGB_ND_STALE_MARGIN", "1.5"))
+        stale_cap_max = int(os.environ.get("MGB_ND_STALE_PCG_CAP", "16"))
 
         import time as _time
 
@@ -1765,9 +1931,15 @@ class _SolverCtx:
         }
         code = self.RUNNING
         kg = 0
-        n_factor = n_reuse = 0
+        n_factor = n_reuse = n_stale = 0
         t_loop0 = _time.perf_counter()
-        # host policy state — same constants/updates as the reuse runner
+        # host policy state — near the reuse runner's, with the attempt
+        # cap adaptive in BOTH directions: successes set it to ~2x the
+        # observed cost (mid-path certifications measured 3-28 PCG its
+        # depending on level/t), failures HALVE it (each doomed sweep is
+        # a full ND solve + matvec of device time, and a failed attempt
+        # repeats on the cooldown schedule), floored where a genuine
+        # certification could still land.
         cap_now = min(cap_max, 40)
         fail_streak = 0
         cd0 = int(os.environ.get("MGB_ND_F32PC_COOLDOWN", "8"))
@@ -1776,10 +1948,18 @@ class _SolverCtx:
         delta_pc = jnp.float32(
             float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
         )
+        # stale-engine state (entered when the f32 engine retires)
+        engine = "f32"
+        fac = None
+        rel_fresh = None
+        stale_cap = min(stale_cap_max, 10)
+        stale_fail = 0
+        scd0 = 4
+        scd, scd_left = scd0, 0
 
         def _policy_update(tried, ok, cgits):
             nonlocal fail_streak, cooldown, cooldown_left, cap_now
-            nonlocal n_factor, n_reuse
+            nonlocal n_factor, n_reuse, engine
             if not tried:
                 n_factor += 1
                 return
@@ -1791,9 +1971,45 @@ class _SolverCtx:
             else:
                 n_factor += 1
                 fail_streak += 1
+                cap_now = max(10, cap_now // 2)
                 if fail_streak >= 2:
-                    cooldown_left = cooldown
-                    cooldown = min(2 * cooldown, cd_max)
+                    if stale_on:
+                        engine = "stale"  # f32 retires for this run
+                    else:
+                        cooldown_left = cooldown
+                        cooldown = min(2 * cooldown, cd_max)
+
+        def _stale_update(tried, ok, cgits, relf):
+            nonlocal stale_fail, scd, scd_left, stale_cap
+            nonlocal n_factor, n_stale, rel_fresh
+            if relf is not None and relf > 0:
+                # a fresh factor was computed in-program.  A non-finite
+                # or O(1) achieved residual means the UNSHIFTED f64
+                # Cholesky went floor-singular and the direction came
+                # from the in-program Jacobi fallback — the stored
+                # factor is poison as a preconditioner, so retire the
+                # stale engine for the rest of this run.
+                if not math.isfinite(relf) or relf > 0.5:
+                    # attempts stay off until a later healthy factor
+                    # (try_cheap requires rel_fresh) — no cooldown churn
+                    rel_fresh = None
+                else:
+                    rel_fresh = relf
+            if not tried:
+                n_factor += 1
+                return
+            if ok:
+                n_stale += 1
+                stale_fail = 0
+                scd = scd0
+                stale_cap = min(stale_cap_max, max(4, 2 * int(cgits) + 2))
+            else:
+                n_factor += 1
+                stale_fail += 1
+                stale_cap = max(4, stale_cap // 2)
+                if stale_fail >= 2:
+                    scd_left = scd
+                    scd = min(2 * scd, 32)
 
         gv, y, cy, fy0, dvp, its_d, rel_d, ok_d = _retry(
             init, Pl, basis, self.x, self.w, self.c, z, t_arr,
@@ -1804,31 +2020,62 @@ class _SolverCtx:
         )
         _policy_update(True, bool(ok_a), float(its_a))
         while True:
-            # decide THIS step's attempt policy (host state only)
-            if fail_streak >= 2 and cd0 > 0 and cooldown_left == 0:
-                fail_streak = 1  # cooled down: grant one retry
-            try_cheap = fail_streak < 2
-            if not try_cheap and cooldown_left > 0:
-                cooldown_left -= 1
-            (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
-             its_d, rel_d, ok_d) = _retry(
-                step, Pl, basis, rloc, self.x, self.w, self.c, z,
-                t_arr, y, cy, fy0, gv, dvp, full_ids, cst,
-                try_cheap, jnp.int32(cap_now), delta_pc,
-            )
-            (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a,
-             ok_a) = jax.device_get(
-                (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d, ok_d)
-            )
-            cgits, cgrel = float(its_a), float(rel_a)
-            _policy_update(try_cheap, bool(ok_a), cgits)
+            if engine == "f32":
+                # decide THIS step's attempt policy (host state only)
+                if fail_streak >= 2 and cd0 > 0 and cooldown_left == 0:
+                    fail_streak = 1  # cooled down: grant one retry
+                try_cheap = fail_streak < 2
+                if not try_cheap and cooldown_left > 0:
+                    cooldown_left -= 1
+                (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
+                 its_d, rel_d, ok_d) = _retry(
+                    step, Pl, basis, rloc, self.x, self.w, self.c, z,
+                    t_arr, y, cy, fy0, gv, dvp, full_ids, cst,
+                    try_cheap, jnp.int32(cap_now), delta_pc,
+                )
+                (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a,
+                 ok_a) = jax.device_get(
+                    (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d,
+                     ok_d)
+                )
+                cgits, cgrel = float(its_a), float(rel_a)
+                _policy_update(try_cheap, bool(ok_a), cgits)
+            else:
+                if fac is None:
+                    fac = h["nd_fac_zero"]()
+                # try the stale factor only when one exists (rel_fresh
+                # seeded) and the engine is not cooling down after two
+                # consecutive certification failures
+                if stale_fail >= 2 and scd_left == 0:
+                    stale_fail = 1  # cooled down: grant one retry
+                try_cheap = rel_fresh is not None and stale_fail < 2
+                if not try_cheap and scd_left > 0:
+                    scd_left -= 1
+                gate = jnp.asarray(
+                    max(rtol, stale_margin * (rel_fresh or 0.0)),
+                    dtype=dtype,
+                )
+                (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
+                 its_d, rel_d, ok_d, fac, relf_d) = _retry(
+                    step_stale, Pl, basis, rloc, self.x, self.w,
+                    self.c, z, t_arr, y, cy, fy0, gv, dvp, full_ids,
+                    cst, fac, try_cheap, jnp.int32(stale_cap), gate,
+                )
+                (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a,
+                 ok_a, relf_a) = jax.device_get(
+                    (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d,
+                     ok_d, relf_d)
+                )
+                cgits, cgrel = float(its_a), float(rel_a)
+                _stale_update(try_cheap, bool(ok_a), cgits,
+                              float(relf_a))
             lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
             if os.environ.get("MGB_ND_HEARTBEAT"):
                 print(
                     f"# newton L{level} it={kg} lam2={lam2:.3e} "
                     f"alpha={alpha:.3f} cg={cgits:.0f}/{cgrel:.1e} "
-                    f"try={int(try_cheap)} ok={int(bool(ok_a))} "
-                    f"wall={_time.time():.1f}",
+                    f"eng={engine} try={int(try_cheap)} "
+                    f"ok={int(bool(ok_a))} wall={_time.time():.1f}",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -1852,6 +2099,7 @@ class _SolverCtx:
             print(
                 f"# nd-auto[level={level}] t={t:.3e} its={kg} "
                 f"factors={n_factor} certified={n_reuse} "
+                f"stale={n_stale} "
                 f"loop={_time.perf_counter() - t_loop0:.2f}s",
                 file=sys.stderr,
             )

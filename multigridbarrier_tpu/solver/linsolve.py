@@ -834,7 +834,18 @@ def mgcg_solve(
         )
         T = jnp.diag(diag) + jnp.diag(offd, 1) + jnp.diag(offd, -1)
         theta, Y = jnp.linalg.eigh(T)  # ascending
-        k_lo = k_defl - k_defl // 4  # mostly small modes, a few outliers
+        # Which extreme to deflate: the TOP Ritz pairs by default — the
+        # measured pathology is the lmax outlier cluster (300-900 over
+        # an O(1) bulk), and large Ritz pairs are the first to converge
+        # in a 40-step Lanczos process, so their vectors are accurate.
+        # Small Ritz pairs converge SLOWEST; deflating half-converged
+        # small modes injects the E^+ solve's error exactly into the
+        # near-null directions that carry the remaining Newton decrement
+        # (the same failure mode as a Levenberg shift, dense_solve doc)
+        # — measured at fem2d L=6: a 6-small/2-large split converged
+        # SHALLOWER than no deflation (c 15.41963 vs 15.4192).
+        k_lo = int(os.environ.get("MGB_CG_DEFLATE_LO", "0"))
+        k_lo = min(k_lo, k_defl)
         k_hi = k_defl - k_lo
         sel = jnp.concatenate([jidx[:k_lo], jidx[K1 - k_hi:]])
         Ysel = Y[:, sel]  # (K1, k)

@@ -166,3 +166,41 @@ def test_mgcg_stagnation_cannot_return_zero():
     )
     assert float(rel) < 1.0
     assert float(jnp.vdot(bp, x)) > 0.0  # descent direction
+
+def test_mgcg_deflated_restart_matches_dense(monkeypatch):
+    # Force the Ritz-deflated restart (harvest shorter than the solve)
+    # on an anisotropic SPD system and check the deflated phase still
+    # converges to the dense solution: the Vuik/Nicolaides projection
+    # plus final W-space correction must be exact, not approximate.
+    nlev = 3
+    g = mgb.fem2d(L=nlev)
+    lb = g.bases["dirichlet"]
+    nf = 1
+    rng = np.random.default_rng(11)
+    systems = []
+    for lvl in range(nlev):
+        basis = lb[lvl]
+        nelem, nq, nl = basis.rloc.shape
+        w_e = jnp.asarray(np.asarray(g.w).reshape(nelem, nq))
+        He = jnp.einsum("eqa,eq,eqb->eab", basis.rloc, w_e, basis.rloc)
+        # element-wise anisotropy spanning 1e6 + point-Jacobi smoothing
+        # (which cannot resolve element anisotropy): slows CG so the
+        # harvest phase cannot converge on its own
+        scale = jnp.asarray(10.0 ** rng.uniform(0, 6, size=(nelem, 1, 1)))
+        systems.append(LevelSystem(He * scale, basis.idx, basis.m))
+    m = lb[nlev - 1].m
+    bp = jnp.zeros((nf, m + 1), dtype=jnp.float64)
+    bp = bp.at[:, :m].set(jnp.asarray(rng.standard_normal((nf, m))))
+    monkeypatch.setenv("MGB_SMOOTHER", "jacobi")
+    monkeypatch.setenv("MGB_CG_DEFLATE", "2")
+    monkeypatch.setenv("MGB_CG_HARVEST", "6")
+    x, its, rel, _ = mgcg_solve(
+        systems, g.embed["dirichlet"][: nlev - 1], bp, nf, rtol=1e-12,
+        maxiter=400,
+    )
+    assert int(its) > 6  # the deflated phase actually ran
+    assert float(rel) < 1e-10
+    xd = dense_solve(systems[-1], nf, bp)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(xd), rtol=0, atol=1e-8
+    )
