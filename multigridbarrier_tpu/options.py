@@ -112,12 +112,18 @@ KNOBS = {
         "gate RTT; 0 = split host-gated programs (_run_level_nd_reuse)"),
     "MGB_ND_STALE_CAP": Knob("host", None,
         "max PCG its against a stale factor before refactoring"),
-    "MGB_ND_STALE_GATE": Knob("kernel", "1",
+    "MGB_ND_STALE_GATE": Knob("experimental", "0",
         "endgame stale-factor engine of the fused-gate runner: once the "
         "f32 engine retires, PCG preconditioned by the last f64 factor, "
         "certified at the fresh factor's own measured residual floor "
-        "(max(cg_rtol, margin*rel_fresh)); 0 = fresh f64 factor every "
-        "step (the round-2 behavior)"),
+        "(max(cg_rtol, margin*rel_fresh)).  Measured-REJECTED (round 3, "
+        "fem2d L=4/6/7 CPU heartbeat + v5e bench): the endgame is the "
+        "DAMPED region (alpha 0.02-0.3), each accepted step moves the "
+        "barrier margins multiplicatively, and a 1-step-stale factor "
+        "preconditions so poorly that attempts reach only 1e-2..1 rel "
+        "vs gates of 1e-9..1e-7 — every attempt fails and the waste "
+        "showed up as +3s on the v5e L=7 bench (116.2 vs 113.8).  This "
+        "is WHY the reference refactors (MUMPS) every Newton step."),
     "MGB_ND_STALE_MARGIN": Knob("host", "1.5",
         "stale-engine gate margin over the fresh factor's measured "
         "achieved relative residual"),

@@ -1908,7 +1908,11 @@ class _SolverCtx:
         eps = float(np.finfo(np.asarray(z).dtype).eps)
         cap_max = int(os.environ.get("MGB_ND_REUSE_CAP", "60"))
         rtol = self.cg_rtol * 1.0001
-        stale_on = os.environ.get("MGB_ND_STALE_GATE", "1") == "1"
+        # stale-factor endgame engine: measured-REJECTED, default OFF —
+        # see the MGB_ND_STALE_GATE registry entry (options.py) for the
+        # measurement record (the endgame is the damped region; stale
+        # factors cannot precondition across alpha ~ 0.02-0.3 steps)
+        stale_on = os.environ.get("MGB_ND_STALE_GATE", "0") == "1"
         stale_margin = float(os.environ.get("MGB_ND_STALE_MARGIN", "1.5"))
         stale_cap_max = int(os.environ.get("MGB_ND_STALE_PCG_CAP", "16"))
 
@@ -2019,6 +2023,7 @@ class _SolverCtx:
             (cy, fy0, its_d, rel_d, ok_d)
         )
         _policy_update(True, bool(ok_a), float(its_a))
+        gate = None
         while True:
             if engine == "f32":
                 # decide THIS step's attempt policy (host state only)
@@ -2071,11 +2076,18 @@ class _SolverCtx:
                               float(relf_a))
             lam2, alpha, dphi = float(lam2_a), float(alpha_a), float(dphi_a)
             if os.environ.get("MGB_ND_HEARTBEAT"):
+                gate_s = (
+                    f" gate={float(gate):.1e} relf="
+                    f"{rel_fresh if rel_fresh is not None else -1:.1e}"
+                    if engine == "stale" and gate is not None
+                    else ""
+                )
                 print(
                     f"# newton L{level} it={kg} lam2={lam2:.3e} "
                     f"alpha={alpha:.3f} cg={cgits:.0f}/{cgrel:.1e} "
                     f"eng={engine} try={int(try_cheap)} "
-                    f"ok={int(bool(ok_a))} wall={_time.time():.1f}",
+                    f"ok={int(bool(ok_a))}{gate_s} "
+                    f"wall={_time.time():.1f}",
                     file=sys.stderr,
                     flush=True,
                 )
