@@ -1898,6 +1898,20 @@ class _SolverCtx:
         h = self._get_nd(level)
         init, step = h["nd_init_auto"], h["nd_step_auto"]
         step_stale = h["nd_step_stale"]
+        # Cross-stage f32 retirement: the f32 preconditioner's viability
+        # boundary is monotone in t (it certifies while eps32 * cond of
+        # the equilibrated Hessian stays under the gate, and cond grows
+        # with t along the path), so once the engine retires at some t,
+        # attempts at later stages of the same level are hopeless — a
+        # stage-init attempt alone burned up to cap(40) full ND-solve
+        # sweeps (~2.8s on v5e) before failing, at each of the 5 endgame
+        # stages.  Recorded per level on the solver-ctx host dict (so a
+        # warm second solve on the same geometry skips the doomed
+        # attempts from its first endgame stage onward); a rerun at
+        # exactly the boundary t also skips — it loses the few cheap
+        # its the retiring stage certified, but skips more failures.
+        f32_dead_t = h.get("f32_dead_t")
+        f32_alive = f32_dead_t is None or float(t) < f32_dead_t
         full_ids = h["nd_full_ids"]
         cst = h["nd_consts"]
         basis = self._bases[level]
@@ -1977,6 +1991,11 @@ class _SolverCtx:
                 fail_streak += 1
                 cap_now = max(10, cap_now // 2)
                 if fail_streak >= 2:
+                    # record the retirement boundary for later stages
+                    prev = h.get("f32_dead_t")
+                    h["f32_dead_t"] = (
+                        float(t) if prev is None else min(prev, float(t))
+                    )
                     if stale_on:
                         engine = "stale"  # f32 retires for this run
                     else:
@@ -2017,19 +2036,24 @@ class _SolverCtx:
 
         gv, y, cy, fy0, dvp, its_d, rel_d, ok_d = _retry(
             init, Pl, basis, self.x, self.w, self.c, z, t_arr,
-            full_ids, cst, True, jnp.int32(cap_now), delta_pc,
+            full_ids, cst, bool(f32_alive), jnp.int32(cap_now), delta_pc,
         )
         cyf, fy0f, its_a, rel_a, ok_a = jax.device_get(
             (cy, fy0, its_d, rel_d, ok_d)
         )
-        _policy_update(True, bool(ok_a), float(its_a))
+        _policy_update(bool(f32_alive), bool(ok_a), float(its_a))
         gate = None
         while True:
             if engine == "f32":
                 # decide THIS step's attempt policy (host state only)
-                if fail_streak >= 2 and cd0 > 0 and cooldown_left == 0:
+                if (
+                    f32_alive
+                    and fail_streak >= 2
+                    and cd0 > 0
+                    and cooldown_left == 0
+                ):
                     fail_streak = 1  # cooled down: grant one retry
-                try_cheap = fail_streak < 2
+                try_cheap = f32_alive and fail_streak < 2
                 if not try_cheap and cooldown_left > 0:
                     cooldown_left -= 1
                 (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
