@@ -162,12 +162,17 @@ KNOBS = {
     "MGB_CG_FLOOR_CAP": Knob("kernel", None,
         "cap on CG its once the decrement floor is reached"),
     "MGB_CG_WARMSTART": Knob("kernel", None, "warm-start CG from prev dz"),
-    "MGB_CG_DEFLATE": Knob("kernel", "8",
+    "MGB_CG_DEFLATE": Knob("experimental", "0",
         "Ritz-deflated MG-CG restart: harvest the preconditioned Lanczos "
         "process from the first CG phase, deflate the k extreme Ritz "
-        "vectors (Vuik/Nicolaides projection) and restart; fixes the "
-        "measured ~6e-5 depth ceiling of the smoothed operator's outlier "
-        "modes (0 disables)"),
+        "vectors (Vuik/Nicolaides projection) and restart.  "
+        "Measured-REJECTED as a depth fix (fem2d L=6, new stall "
+        "defaults): no-deflation c 15.41922, top-only-8 15.41945, "
+        "6small/2large 15.41963 vs exact 15.4183231 — the ~6e-5 ceiling "
+        "is not an outlier-eigenvalue problem reachable from inside the "
+        "Krylov space (suspect: the f32 V-cycle noise floor at endgame "
+        "cond).  Projection exactness stays pinned by "
+        "test_mgcg_deflated_restart_matches_dense."),
     "MGB_CG_HARVEST": Knob("kernel", "40",
         "CG iterations in the Lanczos-harvest phase before the deflated "
         "restart"),

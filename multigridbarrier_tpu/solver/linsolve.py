@@ -772,7 +772,9 @@ def mgcg_solve(
     # decrement is preserved: the initial Q-correction is the exact
     # minimizer of q over x1 + span(W), and the projected iteration
     # decreases the projected q by a*rz/2 per step as before.
-    deflate_k = int(os.environ.get("MGB_CG_DEFLATE", "8"))
+    # default 0: measured-REJECTED as a depth fix — see the
+    # MGB_CG_DEFLATE registry entry (options.py) for the A/B record
+    deflate_k = int(os.environ.get("MGB_CG_DEFLATE", "0"))
     K1 = min(int(os.environ.get("MGB_CG_HARVEST", "40")), maxiter)
     if deflate_k <= 0 or K1 < deflate_k + 4:
         x, r, p, rz, it, q, stagq, healthy, rb2 = jax.lax.while_loop(
