@@ -560,6 +560,20 @@ class _SolverCtx:
         # see continuous history; kg0 is the global iteration offset that
         # keeps their warm-up guards global.
         chunk = self.newton_chunk
+        if (
+            chunk == 1
+            and self.spec.nfields * self._bases[level].m
+            <= self.backend.dense_threshold
+            and os.environ.get("MGB_NEWTON_CHUNK") is None
+        ):
+            # DENSE coarse levels: the whole Newton step is one small
+            # MXU contraction + Cholesky (tens of ms) — far below the
+            # accelerator watchdog that forces chunk=1 on the big
+            # iterative/ND levels — so amortize the per-chunk dispatch
+            # RTT (~40ms via the tunnel) over a few steps (the traced
+            # loop's cond still exits at the first stop code, so no
+            # iterations are wasted).
+            chunk = 4
         HIST = max(5, 2 * self.stall_win - 1)
 
         def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2, lmax0,
