@@ -40,12 +40,18 @@ def _run_in_subprocess() -> int:
     if env.get("PALLAS_AXON_POOL_IPS") and not env.get("MGB_BENCH_NO_PROBE"):
         for probe in range(3):
             try:
+                # block_until_ready on a non-scalar: the FIRST scalar
+                # device_get of a process can stall 100s+ on a healthy
+                # tunnel (axon quirk, CLAUDE.md session-3) — a scalar-get
+                # probe declares a live tunnel dead and falls back to CPU.
                 rc = subprocess.run(
                     [
                         sys.executable,
                         "-c",
-                        "import jax.numpy as jnp;"
-                        "print(float(jnp.ones(8).sum()))",
+                        "import jax, jax.numpy as jnp;"
+                        "x = jnp.ones((128, 128));"
+                        "jax.block_until_ready(x @ x);"
+                        "print('ok')",
                     ],
                     env=env,
                     stdout=subprocess.DEVNULL,

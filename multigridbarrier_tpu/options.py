@@ -110,6 +110,16 @@ KNOBS = {
         "fused per-iteration program (post+pre+attempt+lax.cond f64 "
         "fallback) — saves cross-program fusion and the serialized "
         "gate RTT; 0 = split host-gated programs (_run_level_nd_reuse)"),
+    "MGB_ND_PIPELINE": Knob("host", None,
+        "pipelined dispatch in the fused-gate runner (accelerator "
+        "default 1; CPU 0): dispatch Newton iteration k+1 on iteration "
+        "k's output futures before blocking on k's scalar get, hiding "
+        "the ~43ms/it tunnel RTT under device execution.  Speculated "
+        "attempt flags steer device performance only (directions stay "
+        "certified-or-fresh-f64 by the on-device gate); a conservative "
+        "stop predictor avoids wasting programs at stage ends, and a "
+        "mispredicted speculation is discarded, never applied.  No "
+        "program changes (zero new remote compiles)."),
     "MGB_ND_STALE_CAP": Knob("host", None,
         "max PCG its against a stale factor before refactoring"),
     "MGB_ND_STALE_GATE": Knob("experimental", "0",

@@ -134,6 +134,29 @@ def _f32pc_on() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _nd_pipeline_on() -> bool:
+    """MGB_ND_PIPELINE default: ON for accelerator backends, OFF on CPU.
+
+    The fused-gate runner serializes ~43ms of tunnel RTT per Newton
+    iteration (dispatch + blocking scalar get, CLAUDE.md session-3); at
+    fem2d L=7's ~165 fine its that is ~7s of device idle.  Pipelining
+    dispatches iteration k+1 on iteration k's output FUTURES before
+    blocking on k's scalars, so the get rides under k+1's device
+    execution.  Honesty is unaffected: the attempt policy flags it
+    speculates (try_cheap/cap) only steer device-side *performance* —
+    every direction is still certified-or-fresh-f64 by the on-device
+    gate — and a conservative host stop predictor (speculate only while
+    lam2 > 0.25, |dphi| above the floor band, patience/cap headroom)
+    avoids wasting a program at stage ends; a mispredicted speculation
+    is discarded, never applied.  No program changes: zero new compiles
+    on the remote-compile queue.  CPU default OFF: device == host core,
+    there is no RTT to hide and the speculative step would contend."""
+    env = os.environ.get("MGB_ND_PIPELINE")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
 def _co_barrier_for(Qset: "Convex", k: int) -> Callable:
     """Memoized phase-1 barrier wrapper for (Qset, k).
 
@@ -2056,31 +2079,93 @@ class _SolverCtx:
             (cy, fy0, its_d, rel_d, ok_d)
         )
         _policy_update(bool(f32_alive), bool(ok_a), float(its_a))
+        # -- pipelined dispatch (MGB_ND_PIPELINE, accelerator default) ----
+        # See _nd_pipeline_on.  `state` holds the FUTURES of the current
+        # iterate's step inputs; `pending` holds dispatched-but-unread
+        # steps (depth <= 2: the one being read + one speculation).  The
+        # stale engine (measured-rejected, default off) stays synchronous.
+        pipe_on = _nd_pipeline_on() and not stale_on
+        n_spec = n_spec_waste = 0
+        state = (z, y, cy, fy0, gv, dvp)
+        pending = []
+
+        def _dispatch_f32(st):
+            # decide THIS step's attempt policy (host state only)
+            nonlocal fail_streak, cooldown_left
+            if (
+                f32_alive
+                and fail_streak >= 2
+                and cd0 > 0
+                and cooldown_left == 0
+            ):
+                fail_streak = 1  # cooled down: grant one retry
+            tc = f32_alive and fail_streak < 2
+            if not tc and cooldown_left > 0:
+                cooldown_left -= 1
+            zz, yy, cc, ff, gg, dd = st
+            outs = _retry(
+                step, Pl, basis, rloc, self.x, self.w, self.c, zz,
+                t_arr, yy, cc, ff, gg, dd, full_ids, cst,
+                tc, jnp.int32(cap_now), delta_pc,
+            )
+            # outs = (z_new, lam2, alpha, dphi, gv2, y2, cy2, fy02,
+            #         dvp2, its, rel, ok); next step consumes
+            # (z_new, y2, cy2, fy02, gv2, dvp2)
+            return outs, tc, (outs[0], outs[5], outs[6], outs[7],
+                              outs[4], outs[8])
+
+        def _spec_ok():
+            """Conservative continue predictor: speculate iteration k+1
+            only while iteration k-1's scalars say the stage is clearly
+            mid-flight — every _stop_code trigger needs lam2 <= 0.25
+            (quadratic plateau), a floor-band |dphi| (floor stall /
+            lock), lam2 <= theta2 (converged), or patience/cap expiry,
+            all of which move gradually enough that the previous step's
+            scalars front-run them by one iteration.  A misprediction
+            costs one discarded device program; predicting "stop" costs
+            one un-hidden ~43ms RTT — so the guards are one-sided
+            conservative."""
+            if kg < 1 or not tr["lam2"]:
+                return False
+            lam2_p = tr["lam2"][-1]
+            if not math.isfinite(lam2_p):
+                return False
+            if lam2_p <= max(0.25, 4.0 * theta2):
+                return False
+            if tr["alpha"][-1] <= 0.0:
+                return False
+            floor_p = 64.0 * eps * (abs(tr["phi"][-1]) + 1.0)
+            if abs(tr["dphi"][-1]) <= 4.0 * floor_p:
+                return False
+            patience = self.newton_patience
+            if patience > 0 and kg + 2 >= patience:
+                return False
+            if kg + 1 >= self.newton_cap:
+                return False
+            if fail_streak == 1:
+                # the in-flight step may retire the f32 engine; a
+                # speculated try_cheap=True would burn a doomed attempt
+                return False
+            return True
+
         gate = None
         while True:
             if engine == "f32":
-                # decide THIS step's attempt policy (host state only)
-                if (
-                    f32_alive
-                    and fail_streak >= 2
-                    and cd0 > 0
-                    and cooldown_left == 0
-                ):
-                    fail_streak = 1  # cooled down: grant one retry
-                try_cheap = f32_alive and fail_streak < 2
-                if not try_cheap and cooldown_left > 0:
-                    cooldown_left -= 1
-                (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
-                 its_d, rel_d, ok_d) = _retry(
-                    step, Pl, basis, rloc, self.x, self.w, self.c, z,
-                    t_arr, y, cy, fy0, gv, dvp, full_ids, cst,
-                    try_cheap, jnp.int32(cap_now), delta_pc,
-                )
+                if not pending:
+                    outs, tc, state = _dispatch_f32(state)
+                    pending.append((outs, tc))
+                if pipe_on and len(pending) == 1 and _spec_ok():
+                    outs, tc, state = _dispatch_f32(state)
+                    pending.append((outs, tc))
+                    n_spec += 1
+                (z_new, lam2_d, alpha_d, dphi_d, gv2, y2, cy2, fy02,
+                 dvp2, its_d, rel_d, ok_d), try_cheap = pending.pop(0)
                 (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a,
                  ok_a) = jax.device_get(
-                    (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d,
+                    (lam2_d, alpha_d, dphi_d, cy2, fy02, its_d, rel_d,
                      ok_d)
                 )
+                z = z_new
                 cgits, cgrel = float(its_a), float(rel_a)
                 _policy_update(try_cheap, bool(ok_a), cgits)
             else:
@@ -2098,12 +2183,15 @@ class _SolverCtx:
                     max(rtol, stale_margin * (rel_fresh or 0.0)),
                     dtype=dtype,
                 )
+                zc, yc, cyc, fy0c, gvc, dvpc = state
                 (z, lam2_d, alpha_d, dphi_d, gv, y, cy, fy0, dvp,
                  its_d, rel_d, ok_d, fac, relf_d) = _retry(
                     step_stale, Pl, basis, rloc, self.x, self.w,
-                    self.c, z, t_arr, y, cy, fy0, gv, dvp, full_ids,
-                    cst, fac, try_cheap, jnp.int32(stale_cap), gate,
+                    self.c, zc, t_arr, yc, cyc, fy0c, gvc, dvpc,
+                    full_ids, cst, fac, try_cheap,
+                    jnp.int32(stale_cap), gate,
                 )
+                state = (z, y, cy, fy0, gv, dvp)
                 (lam2_a, alpha_a, dphi_a, cy_a, fy0_a, its_a, rel_a,
                  ok_a, relf_a) = jax.device_get(
                     (lam2_d, alpha_d, dphi_d, cy, fy0, its_d, rel_d,
@@ -2145,11 +2233,16 @@ class _SolverCtx:
             if kg >= self.newton_cap:
                 code = self.CAPPED
                 break
+        # a mispredicted speculation is DISCARDED: `z` is the last
+        # completed step's iterate; the in-flight program's outputs are
+        # dropped unread (device time wasted, semantics untouched)
+        n_spec_waste += len(pending)
+        pending.clear()
         if os.environ.get("MGB_HOST_STATS"):
             print(
                 f"# nd-auto[level={level}] t={t:.3e} its={kg} "
                 f"factors={n_factor} certified={n_reuse} "
-                f"stale={n_stale} "
+                f"stale={n_stale} spec={n_spec}/{n_spec_waste} "
                 f"loop={_time.perf_counter() - t_loop0:.2f}s",
                 file=sys.stderr,
             )

@@ -293,3 +293,40 @@ def test_end_to_end_forced_nd_3d():
     c_ref = s_ref.SOL_main.c_dot_Dz[-1]
     c_nd = s_nd.SOL_main.c_dot_Dz[-1]
     assert abs(c_nd - c_ref) < 1e-5 * abs(c_ref), (c_nd, c_ref)
+
+
+def test_pipelined_fused_gate_matches_sync():
+    """MGB_ND_PIPELINE=1 (accelerator default; forced here on CPU) must
+    reproduce the synchronous fused-gate path exactly: speculation only
+    reorders host dispatch — every direction is still certified-or-
+    fresh-f64 by the on-device gate, and a mispredicted speculation is
+    discarded, never applied.  The converged objective must agree to the
+    certification contract; iteration COUNTS may differ slightly — the
+    speculated attempt policy lags one step, so a certification attempt
+    can flip from certified-f32pc to fresh-f64 (both valid directions,
+    numerically different paths).  (Measured: fem2d L=4/dth=64 identical
+    c and [6,12,7,100] its; L=3/dth=64 c agrees to 1e-12, fine its
+    47 vs 52.)"""
+    import os
+
+    b = Backend(dtype=jnp.float64, dense_threshold=64)
+    keys = ("MGB_FINE_SOLVER", "MGB_ND_F32PC", "MGB_ND_FUSED_GATE",
+            "MGB_ND_PIPELINE")
+    prev = {k: os.environ.get(k) for k in keys}
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        os.environ["MGB_ND_F32PC"] = "1"
+        os.environ["MGB_ND_FUSED_GATE"] = "1"
+        os.environ["MGB_ND_PIPELINE"] = "0"
+        s0 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+        os.environ["MGB_ND_PIPELINE"] = "1"
+        s1 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    c0 = s0.SOL_main.c_dot_Dz[-1]
+    c1 = s1.SOL_main.c_dot_Dz[-1]
+    assert abs(c1 - c0) < 1e-9 * abs(c0), (c1, c0)
