@@ -119,7 +119,12 @@ KNOBS = {
         "certified-or-fresh-f64 by the on-device gate); a conservative "
         "stop predictor avoids wasting programs at stage ends, and a "
         "mispredicted speculation is discarded, never applied.  No "
-        "program changes (zero new remote compiles)."),
+        "program changes (zero new remote compiles).  NOT bit-"
+        "reproducible vs the sync path: a speculated step uses a "
+        "one-step-stale attempt cap, so a certification can flip "
+        "between certified-f32pc and fresh-f64 — both gated, valid "
+        "directions, but the Newton paths (and iteration counts) may "
+        "differ slightly."),
     "MGB_ND_STALE_CAP": Knob("host", None,
         "max PCG its against a stale factor before refactoring"),
     "MGB_ND_STALE_GATE": Knob("experimental", "0",

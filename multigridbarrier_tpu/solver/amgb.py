@@ -2235,8 +2235,18 @@ class _SolverCtx:
                 break
         # a mispredicted speculation is DISCARDED: `z` is the last
         # completed step's iterate; the in-flight program's outputs are
-        # dropped unread (device time wasted, semantics untouched)
+        # dropped unread (device time wasted, semantics untouched).
+        # Drain it before returning: the device executes it either way
+        # (the next stage's init would queue behind it), and draining
+        # here keeps any runtime fault it raises inside this swallow
+        # instead of surfacing at the next stage's un-wrapped
+        # device_get (advisor round-3 finding).
         n_spec_waste += len(pending)
+        for outs, _tc in pending:
+            try:
+                jax.block_until_ready(outs)
+            except Exception:
+                pass  # fault in a discarded program: result never used
         pending.clear()
         if os.environ.get("MGB_HOST_STATS"):
             print(

@@ -329,4 +329,8 @@ def test_pipelined_fused_gate_matches_sync():
                 os.environ[k] = v
     c0 = s0.SOL_main.c_dot_Dz[-1]
     c1 = s1.SOL_main.c_dot_Dz[-1]
-    assert abs(c1 - c0) < 1e-9 * abs(c0), (c1, c0)
+    # The two runs take intentionally different Newton paths (47 vs 52
+    # fine its above), so they agree only to the documented floor-stop
+    # variation (~2e-6 relative across platforms), not to 1e-9 — the
+    # 1e-12 measured here is one BLAS build's luck, not a contract.
+    assert abs(c1 - c0) < 1e-5 * abs(c0), (c1, c0)
