@@ -10,7 +10,11 @@ all jit compilation — mirroring BenchmarkTools medians which exclude Julia
 compilation) and vs_baseline = reference_native_seconds / our_seconds
 (>1 means faster than the reference).
 
-Env overrides: MGB_BENCH_L (default 7), MGB_BENCH_DTYPE (f64|f32).
+Env overrides: MGB_BENCH_L (default 7), MGB_BENCH_DTYPE (f64|f32),
+MGB_BENCH_PROBLEM (fem2d|fem3d; fem3d uses MGB_BENCH_K, default 3, and
+has no published reference number — the reference benchmarks only fem2d),
+MGB_BENCH_REPS (timed-solve repetitions; default 3 for L<=6, 2 at L=7,
+1 at L=8 — the JSON reports the median and the min-max spread).
 """
 
 from __future__ import annotations
@@ -128,7 +132,8 @@ def main():
 
     faulthandler.register(signal.SIGUSR1, all_threads=True)
 
-    L = int(os.environ.get("MGB_BENCH_L", "7"))
+    problem = os.environ.get("MGB_BENCH_PROBLEM", "fem2d")
+    L = int(os.environ.get("MGB_BENCH_L", "7" if problem == "fem2d" else "3"))
     dtype_name = os.environ.get("MGB_BENCH_DTYPE", "f64")
 
     import jax
@@ -139,7 +144,13 @@ def main():
     backend = mgb.backend_cpu(dtype=dtype)
 
     t0 = time.perf_counter()
-    g = mgb.fem2d(L=L, backend=backend)
+    if problem == "fem3d":
+        k = int(os.environ.get("MGB_BENCH_K", "3"))
+        g = mgb.fem3d(L=L, k=k, backend=backend)
+        metric_name = f"fem3d L={L} k={k} p=1 barrier solve wall-time"
+    else:
+        g = mgb.fem2d(L=L, backend=backend)
+        metric_name = f"fem2d L={L} p=1 barrier solve wall-time"
     t_geom = time.perf_counter() - t0
     print(f"# geometry L={L} n={g.n} built in {t_geom:.1f}s", file=sys.stderr)
 
@@ -168,7 +179,10 @@ def main():
     # SURVEY.md section 6).  Repetition count shrinks with problem size so
     # the bench stays inside the driver budget: 3 for L<=6, 2 at L=7
     # (one extra solve now that warmup has paid all compiles), 1 at L=8.
-    reps_default = 3 if L <= 6 else (2 if L == 7 else 1)
+    if problem == "fem2d":
+        reps_default = 3 if L <= 6 else (2 if L == 7 else 1)
+    else:
+        reps_default = 1  # fem3d L=3 k=3 is ~160s/solve on the 1-core host
     reps = int(os.environ.get("MGB_BENCH_REPS", str(reps_default)))
     times = []
     for rep in range(max(1, reps)):
@@ -182,7 +196,7 @@ def main():
     )
     spread = times[-1] - times[0]
 
-    base = BASELINE_NATIVE_S.get(L)
+    base = BASELINE_NATIVE_S.get(L) if problem == "fem2d" else None
     dofs_per_sec = g.n / elapsed
     print(
         f"# timed median {elapsed:.3f}s of {len(times)} "
@@ -196,7 +210,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"fem2d L={L} p=1 barrier solve wall-time ({tag})",
+                "metric": f"{metric_name} ({tag})",
                 "value": round(elapsed, 4),
                 "unit": "s",
                 "vs_baseline": round(base / elapsed, 3) if base else None,

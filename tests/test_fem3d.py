@@ -74,6 +74,37 @@ def test_fem3d_solve():
     assert sol.SOL_main.its.sum() > 0
 
 
+def test_fem3d_nd_fine_solver_matches_exact():
+    """3D through the ND multifrontal fine solver (VERDICT r3 item 6).
+
+    fem3d L=2 k=3 has 2*125 = 250 fine unknowns; dense_threshold=64
+    routes the fine level through the on-device ND multifrontal solver
+    (the same path fem3d L=3 k=3 takes at default thresholds, where
+    2*1331 = 2662 > 2048).  The pinned objective is the exact-dense
+    direct run measured on this problem (default backend, identical
+    [6, 91] its); ND directions are exact so both paths agree to the
+    floor, but the assert allows the documented cross-platform
+    floor-stop variation (~2e-6 relative).  Reference 3D entry:
+    /root/reference/src/MultiGridBarrierMPI.jl:696-745.
+    """
+    import os
+
+    prev = os.environ.get("MGB_FINE_SOLVER")
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        b = mgb.backend_cpu(dense_threshold=64)
+        sol = mgb.amgb(mgb.fem3d(L=2, k=3, backend=b), p=1.0)
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_FINE_SOLVER", None)
+        else:
+            os.environ["MGB_FINE_SOLVER"] = prev
+    c = float(sol.SOL_main.c_dot_Dz[-1])
+    C_EXACT = 192.49066199206504  # exact-dense direct run, this problem
+    assert abs(c - C_EXACT) < 1e-5 * abs(C_EXACT), c
+    assert int(sol.SOL_main.its.sum()) < 200
+
+
 def test_fem3d_custom_K():
     # two stacked unit boxes
     K = []
