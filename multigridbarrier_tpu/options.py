@@ -103,6 +103,18 @@ KNOBS = {
         "matmul precision for f32 factor traces (TPU f32 dots default to "
         "one bf16 MXU pass; 'highest' = true f32, required for the "
         "preconditioner to certify past t~10)"),
+    "MGB_ND_KRYLOV32": Knob("kernel", "0",
+        "1 = stage-1 f32 Krylov warm start inside f32pc directions: run "
+        "the early PCG contraction entirely in the equilibrated f32 "
+        "frame (f32 matvec/preconditioner/vector ops) down to "
+        "MGB_ND_KRYLOV32_TOL, then warm-start the f64 PCG that owns the "
+        "certification gate — the accepted direction is exactly as "
+        "converged, only the route to it is cheaper on accelerators "
+        "where every f64 vector op is ~12x an f32 op"),
+    "MGB_ND_KRYLOV32_TOL": Knob("kernel", "1e-4",
+        "stage-1 relative-residual target for MGB_ND_KRYLOV32 (a stall "
+        "window exits doomed stage-1 loops where the f32 floor sits "
+        "above this)"),
     "MGB_ND_F32PC_COOLDOWN": Knob("host", "8",
         "Newton its between f32pc retries after a failed certification"),
     "MGB_ND_FUSED_GATE": Knob("kernel", "1",

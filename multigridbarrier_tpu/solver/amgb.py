@@ -1167,6 +1167,21 @@ class _SolverCtx:
                 )
                 return dvp, it, rel
 
+            # Stage-1 f32 Krylov warm start for f32pc directions
+            # (MGB_ND_KRYLOV32): run the bulk of the PCG iteration in
+            # the equilibrated f32 frame — f32 matvec on the already-
+            # equilibrated (shifted) pair blocks, f32 preconditioner
+            # sweeps, f32 vector ops — down to a loose tol, then warm-
+            # start the f64 PCG that owns the certification gate.  On
+            # v5e every f64 vector op is software-emulated (~12x an f32
+            # op, CLAUDE.md round-2 session-9), and certified mid-path
+            # steps are PCG-sweep-dominated, so moving the early
+            # contraction to f32 cuts the per-step cost while the
+            # accepted direction stays exactly as converged (the gate
+            # still measures the f64 residual of the exact system).
+            k32_on = os.environ.get("MGB_ND_KRYLOV32", "0") == "1"
+            k32_tol = float(os.environ.get("MGB_ND_KRYLOV32_TOL", "1e-4"))
+
             def nd_dir_f32(vals, gv, cst, cap, delta):
                 """Newton direction from a FRESH shifted f32 factor:
                 symmetric-Jacobi equilibration (unit diagonal), a small
@@ -1184,7 +1199,12 @@ class _SolverCtx:
                 few sub-eps32 outlier eigenvalues of the equilibrated
                 Hessian to ~delta; CG absorbs isolated outliers in a
                 few extra iterations each (same mechanism as
-                hostsolve's stale-factor CG)."""
+                hostsolve's stale-factor CG).
+
+                With MGB_ND_KRYLOV32=1 the returned `its` scalar is a
+                cost-weighted count (f64 its + f32 its/4) so the host
+                policy's adaptive attempt cap keeps tracking device
+                time, not loop trips."""
                 b = -gv[:, :m].T.reshape(-1)
                 ndc = cst["nd"]
                 dgv = jnp.abs(vals[cst["diag_ids"]])
@@ -1205,7 +1225,84 @@ class _SolverCtx:
 
                 bb = jnp.vdot(b, b)
                 tol2 = (rtol_r ** 2) * bb
-                xv = apply_fac(b)
+                it32 = jnp.int32(0)
+                if k32_on:
+                    # -- stage 1: f32 PCG in the equilibrated frame ----
+                    # Operator = the shifted equilibrated blocks
+                    # themselves (delta ~ 3e-6 is invisible at the 1e-4
+                    # stage-1 target); true-f32 einsums (one bf16 MXU
+                    # pass would floor the stage at ~1e-2).  A stall
+                    # window bounds doomed loops near the retirement
+                    # boundary, where the f32 floor sits above tol1.
+                    with jax.default_matmul_precision("highest"):
+                        # vals_f is still f64 (fz.factor casts internally)
+                        # — the stage-1 operator needs a real f32 copy or
+                        # every matvec silently promotes the loop to f64
+                        vals1 = vals_f.astype(jnp.float32)
+                        b1 = (s * b).astype(jnp.float32)
+                        bb1 = jnp.vdot(b1, b1)
+                        tol21 = jnp.asarray(
+                            k32_tol * k32_tol, jnp.float32
+                        ) * bb1
+                        cap1 = 4 * cap
+
+                        def apply1(r):
+                            return fz.solve(fac, r, ndc)
+
+                        x1 = apply1(b1)
+                        r1 = b1 - matvec(vals1, x1, cst)
+                        z1 = apply1(r1)
+                        st1 = (
+                            x1, r1, z1, jnp.vdot(r1, z1),
+                            jnp.vdot(r1, r1), jnp.int32(0),
+                            jnp.vdot(r1, r1), jnp.int32(0),
+                        )
+
+                        def cond1(st):
+                            _, _, _, _, rr, it, _, since = st
+                            return (
+                                jnp.isfinite(rr)
+                                & (rr > tol21)
+                                & (it < cap1)
+                                & (since < 8)
+                            )
+
+                        def body1(st):
+                            xv, r, p, rz, rr, it, best, since = st
+                            Ap = matvec(vals1, p, cst)
+                            pAp = jnp.vdot(p, Ap)
+                            ok = (
+                                jnp.isfinite(pAp) & (pAp > 0)
+                                & jnp.isfinite(rz) & (rz > 0)
+                            )
+                            al = jnp.where(
+                                ok, rz / jnp.where(ok, pAp, 1.0), 0.0
+                            )
+                            xv = xv + al * p
+                            r = r - al * Ap
+                            zv = apply1(r)
+                            rz2 = jnp.vdot(r, zv)
+                            beta = jnp.where(
+                                ok & (rz2 > 0),
+                                rz2 / jnp.where(ok, rz, 1.0),
+                                0.0,
+                            )
+                            p = jnp.where(ok, zv + beta * p, p)
+                            rr2 = jnp.where(ok, jnp.vdot(r, r), jnp.inf)
+                            better = rr2 < 0.9 * best
+                            best = jnp.where(better, rr2, best)
+                            since = jnp.where(better, 0, since + 1)
+                            return xv, r, p, rz2, rr2, it + 1, best, since
+
+                        x1, _, _, _, _, it32, _, _ = jax.lax.while_loop(
+                            cond1, body1, st1
+                        )
+                    x0 = s * x1.astype(s.dtype)
+                    xv = jnp.where(
+                        jnp.all(jnp.isfinite(x0)), x0, jnp.zeros_like(x0)
+                    )
+                else:
+                    xv = apply_fac(b)
                 r0 = b - matvec(vals, xv, cst)
                 z0 = apply_fac(r0)
                 st0 = (xv, r0, z0, jnp.vdot(r0, z0), jnp.vdot(r0, r0),
@@ -1242,7 +1339,8 @@ class _SolverCtx:
                     [xv.reshape(m, nf).T, jnp.zeros((nf, 1), xv.dtype)],
                     axis=1,
                 )
-                return dvp, it, rel
+                # cost-weighted its (f32 stage-1 its are ~4x cheaper)
+                return dvp, it + it32 // 4, rel
 
             h.update(
                 nd_pre=jax.jit(pre),

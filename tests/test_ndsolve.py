@@ -212,6 +212,38 @@ def test_end_to_end_forced_nd_reuse(cheap_var):
     assert s1.SOL_main.its[-1] > 0
 
 
+def test_krylov32_warm_start_matches_plain_f32pc():
+    """MGB_ND_KRYLOV32=1 (stage-1 f32 Krylov warm start inside f32pc
+    directions) must not change what the certification gate accepts:
+    the f64 stage still runs to cg_rtol on the exact Hessian, so the
+    converged objective matches the plain f32pc path to the solver
+    contract.  (Measured on CPU: bit-identical c_dot_Dz and identical
+    its at fem2d L=4 and L=6.)"""
+    import os
+
+    b = Backend(dtype=jnp.float64, dense_threshold=64)
+    keys = ("MGB_FINE_SOLVER", "MGB_ND_F32PC", "MGB_ND_FUSED_GATE",
+            "MGB_ND_KRYLOV32")
+    prev = {k: os.environ.get(k) for k in keys}
+    try:
+        os.environ["MGB_FINE_SOLVER"] = "nd"
+        os.environ["MGB_ND_F32PC"] = "1"
+        os.environ["MGB_ND_FUSED_GATE"] = "1"
+        os.environ["MGB_ND_KRYLOV32"] = "0"
+        s0 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+        os.environ["MGB_ND_KRYLOV32"] = "1"
+        s1 = mgb.amgb(mgb.fem2d(L=3, backend=b), p=1.0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    c0 = s0.SOL_main.c_dot_Dz[-1]
+    c1 = s1.SOL_main.c_dot_Dz[-1]
+    assert abs(c1 - c0) < 1e-6 * abs(c0), (c1, c0)
+
+
 def test_f32_staging_escape_keeps_solve_exact():
     """MGB_ND_F32_TMAX engages the f32-factor programs; on barrier
     Hessians the f32 Cholesky goes non-finite mid-path (leaf separator
