@@ -70,17 +70,54 @@ def test_fem2d_fine_solver_mesh_parity_8dev(fine):
             os.environ.pop("MGB_FINE_SOLVER", None)
         else:
             os.environ["MGB_FINE_SOLVER"] = prev
-    # sharded reduction order perturbs the nnz values in the last bits
-    # (and on a virtual CPU mesh the cross-device psum order is even
-    # runtime-nondeterministic under load), which can shift floor-
-    # adjacent stop decisions by one t-stop's worth of Newton
-    # iterations — the objective is the invariant, not the path
+    # Drift mechanism (measured, round 4): sharded segment_sum/psum
+    # reduction order perturbs assembled values in the last bits; the
+    # Newton paths stay in lockstep until the ARITHMETIC-FLOOR band
+    # (t >= 1e6 at L=4), where stall-window plateau comparisons sit
+    # within that noise and a flipped stop costs 2-3 iterations at a
+    # stage.  Contract: per-stage iteration counts must be IDENTICAL
+    # for every pre-floor stage (t <= 1e5) — a real sharding bug would
+    # show up here — and total drift is bounded by a few floor-band
+    # stop flips (measured 5 for nd; reference its-parity analogue:
+    # sum(SOL_main.its), tools/benchmark_fem2d.jl:92-93).
+    from collections import Counter
+
+    def stage_its(s):
+        c = Counter()
+        for rec in s.log:
+            c[(rec["t"], rec["level"])] += 1
+        return c
+
+    st1, st8 = stage_its(sol1), stage_its(sol8)
+    pre_floor = {k for k in (set(st1) | set(st8)) if k[0] <= 1e5}
+    for k in sorted(pre_floor):
+        assert st1[k] == st8[k], (k, st1[k], st8[k])
     its1, its8 = sol1.SOL_main.its, sol8.SOL_main.its
-    assert abs(int(its1.sum()) - int(its8.sum())) <= 25, (its1, its8)
+    assert abs(int(its1.sum()) - int(its8.sum())) <= 10, (its1, its8)
     c1, c8 = sol1.SOL_main.c_dot_Dz[-1], sol8.SOL_main.c_dot_Dz[-1]
-    assert abs(c1 - c8) < 1e-6 * abs(c1), (c1, c8)
+    # measured 1.4e-8 relative (the floor band is where both stop)
+    assert abs(c1 - c8) < 1e-7 * abs(c1), (c1, c8)
     du = np.abs(np.asarray(sol1.z[:, 0]) - np.asarray(sol8.z[:, 0])).max()
-    assert du < 1e-3, du
+    assert du < 2e-4, du
+    # The SLACK field's sup-norm is NOT an invariant here: at the final
+    # t ~ 6.7e7 the degenerate-subspace curvature (~ w/s^2) sits below
+    # the f64 floor, so floor-locked stops park s at different points
+    # of the same optimal face (measured: |s1-s8| up to ~17 on weight-
+    # carrying rows while u agrees to 2e-4 and c_dot_Dz to 1e-7 — equal
+    # objective by construction).  The meaningful slack invariant is
+    # cone feasibility of BOTH solutions: s >= |grad u|.
+    g = sol1.geometry
+    for s in (sol1, sol8):
+        z = np.asarray(s.z)
+        gu = np.stack(
+            [
+                np.asarray(g.operators[d].matvec(jnp.asarray(z[:, 0])))
+                for d in ("dx", "dy")
+            ],
+            axis=1,
+        )
+        viol = (np.linalg.norm(gu, axis=1) - z[:, 1]).max()
+        assert viol < 1e-5, viol
 
 
 @needs_8
