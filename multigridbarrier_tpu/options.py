@@ -45,8 +45,13 @@ class Knob:
 KNOBS = {
     # -- solver routing + Newton loop ------------------------------------
     "MGB_FINE_SOLVER": Knob("kernel", "nd",
-        "fine-level Newton solver: nd (on-device multifrontal) | host "
-        "(SuperLU + factor reuse) | mgcg (sharded MG-CG fallback)"),
+        "fine-level Newton solver: nd (on-device multifrontal, the "
+        "production default everywhere) | host (SuperLU + factor reuse "
+        "— CPU-backend option only: on the TPU tunnel the single-core "
+        "host factor dominates, measured 479s vs nd's ~110s at fem2d "
+        "L=7; kept as the exact-direction A/B reference) | mgcg "
+        "(sharded MG-CG fallback; accuracy-limited at depth, see "
+        "docs/guide.md)"),
     "MGB_NEWTON_CHUNK": Knob("kernel", None,
         "Newton steps per device program (1 on accelerators: the TPU "
         "worker watchdog kills >~30s kernels; 4 on CPU)"),
