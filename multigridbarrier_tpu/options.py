@@ -87,6 +87,11 @@ KNOBS = {
         "relay column selection: gather | onehot"),
     "MGB_ND_SPLITSUM": Knob("kernel", None,
         "split the combined per-depth segment_sum into per-source sums"),
+    "MGB_ND_EA_ROWMB": Knob("kernel", "3",
+        "relay extend-add scatter window cap in MB: whole-front "
+        "segment_sum below, row-level segments above (TPU scoped-vmem "
+        "limit is 16MB; the fem2d L=8 root front is a 4.1MB f32 window "
+        "and the compile FAILS without this); 0 forces rows"),
     "MGB_ND_PCG": Knob("kernel", None,
         "CG-polish sweeps after each ND solve (0 on accelerators with "
         "explicit-inverse factors — polish cannot beat the inverse floor; "

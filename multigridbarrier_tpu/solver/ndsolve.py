@@ -734,6 +734,12 @@ class NDFactorizer:
         # one-hot matmul pays F^2*Bf f64-emulated flops; the lane-axis
         # gather moves less than the matmul computes) — default gather.
         self.relay_cols = os.environ.get("MGB_ND_RELAY_COLS", "gather")
+        # relay extend-add scatter granularity: segment_sum over whole
+        # F x F fronts until the per-update window exceeds this many MB,
+        # then row-level segments (see the factor loop).  3MB keeps the
+        # measured L<=7 block path byte-identical while fixing the L=8
+        # root-depth scoped-vmem compile failure; 0 forces rows.
+        self.ea_row_mb = float(os.environ.get("MGB_ND_EA_ROWMB", "3"))
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -1015,10 +1021,33 @@ class NDFactorizer:
                             ]
                         ).astype(dtype)
                         A2 = A1 @ S
-                    fronts = fronts + jax.ops.segment_sum(
-                        A2, pkk_a, num_segments=n_d,
-                        indices_are_sorted=True,
-                    )
+                    # TPU scoped-vmem guard: a segment_sum over whole
+                    # (Nc, F, F) matrices emits a scatter-add whose
+                    # update window is one F x F front — at fem2d L=8's
+                    # root depth (F=1012, 4.1MB f32) that blows the
+                    # 16MB scoped-vmem stack budget and the compile
+                    # FAILS ("Ran out of memory in memory space vmem",
+                    # the real cause of the historical L=8-on-TPU
+                    # crash).  Above a window-size threshold, flatten
+                    # to ROW-level segments (window = one F-row, a few
+                    # KB); row ids stay sorted because pkk_a is.
+                    win_mb = F * F * jnp.dtype(dtype).itemsize / 2**20
+                    if win_mb > self.ea_row_mb:
+                        rid = (
+                            pkk_a[:, None] * F
+                            + jnp.arange(F, dtype=pkk_a.dtype)[None, :]
+                        ).reshape(-1)
+                        add = jax.ops.segment_sum(
+                            A2.reshape(-1, F), rid,
+                            num_segments=n_d * F,
+                            indices_are_sorted=True,
+                        )
+                        fronts = fronts + add.reshape(n_d, F, F)
+                    else:
+                        fronts = fronts + jax.ops.segment_sum(
+                            A2, pkk_a, num_segments=n_d,
+                            indices_are_sorted=True,
+                        )
                 # shard the batch only AFTER assembly + relay extend-add
                 # complete: GSPMD's partitioned scatter miscomputes when
                 # a segment_sum targets an already-sharded uneven batch

@@ -79,6 +79,10 @@ def _grid_problem(G, nf, pad, seed=0):
      (2, True, 4, True, False, 6, "relay"),
      (1, False, 4, False, False, 6, "relay"),
      (2, True, 4, True, False, 6, "relay_gather"),
+     # row-level extend-add scatter (the L=8 scoped-vmem guard,
+     # MGB_ND_EA_ROWMB=0 forces it at every depth)
+     (2, True, 4, True, False, 6, "relay_rows"),
+     (2, True, 4, True, False, 6, "relay_gather_rows"),
      # large-leaf configs (the TPU fewer-depths lever, MGB_ND_LEAF=64):
      # a 12x12 grid so leaf 64 still produces a real separator tree
      (2, True, 64, True, False, 12, "fanin"),
@@ -91,13 +95,17 @@ def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum, G, ea):
     idx, coords, vals, Ad = _grid_problem(G, nf, pad)
     sym = NDSymbolic(idx, coords.shape[0], nf, coords, leaf=leaf)
     prev = {k: os.environ.get(k)
-            for k in ("MGB_ND_SPLITSUM", "MGB_ND_EA", "MGB_ND_RELAY_COLS")}
+            for k in ("MGB_ND_SPLITSUM", "MGB_ND_EA", "MGB_ND_RELAY_COLS",
+                      "MGB_ND_EA_ROWMB")}
     try:
         # pin BOTH ways so ambient A/B env can't collapse the matrix
         os.environ["MGB_ND_SPLITSUM"] = "1" if splitsum else "0"
         os.environ["MGB_ND_EA"] = ea.split("_")[0]
         os.environ["MGB_ND_RELAY_COLS"] = (
-            "gather" if ea.endswith("_gather") else "mm"
+            "gather" if "_gather" in ea else "mm"
+        )
+        os.environ["MGB_ND_EA_ROWMB"] = (
+            "0" if ea.endswith("_rows") else "3"
         )
         fz = NDFactorizer(sym, use_inv=use_inv)
     finally:

@@ -85,10 +85,11 @@ def main():
 
     rows = []
     x_ref = None
-    for label, mesh in (
-        ("replicated", None),
-        (f"sharded_{ndev}dev", make_mesh(ndev) if ndev > 1 else None),
-    ):
+    counts = [c for c in (2, 4, ndev) if 1 < c <= ndev]
+    configs = [("replicated", None)] + [
+        (f"sharded_{c}dev", make_mesh(c)) for c in sorted(set(counts))
+    ]
+    for label, mesh in configs:
         fz = NDFactorizer(sym, use_inv=True, mesh=mesh)
         cst = fz.consts()
         factor_j = jax.jit(lambda v, c: fz.factor(v, c))
@@ -124,10 +125,10 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    if len(rows) == 2 and rows[0]["per_device_flops"] > 0:
-        ratio = rows[0]["per_device_flops"] / rows[1]["per_device_flops"]
+    if len(rows) >= 2 and rows[0]["per_device_flops"] > 0:
+        ratio = rows[0]["per_device_flops"] / rows[-1]["per_device_flops"]
         print(f"# per-device factor flops ratio (replicated/sharded): "
-              f"{ratio:.2f}x (mesh={ndev} devices)")
+              f"{ratio:.2f}x (mesh={rows[-1]['devices']} devices)")
     else:
         ratio = None
 
