@@ -87,11 +87,15 @@ KNOBS = {
         "relay column selection: gather | onehot"),
     "MGB_ND_SPLITSUM": Knob("kernel", None,
         "split the combined per-depth segment_sum into per-source sums"),
-    "MGB_ND_EA_ROWMB": Knob("kernel", "3",
+    "MGB_ND_EA_ROWMB": Knob("kernel", "4",
         "relay extend-add scatter window cap in MB: whole-front "
         "segment_sum below, row-level segments above (TPU scoped-vmem "
-        "limit is 16MB; the fem2d L=8 root front is a 4.1MB f32 window "
-        "and the compile FAILS without this); 0 forces rows"),
+        "limit is 16MB; the fem2d L=8 root front is a 4.1MB f32 / "
+        "7.8MB f64 window and the compile FAILS without this).  The "
+        "default 4 keeps every historically-proven L<=7 program on the "
+        "block path (largest window there: 3.91MB f64), preserving "
+        "both measured perf and the persistent compile cache; 0 "
+        "forces rows everywhere"),
     "MGB_ND_PCG": Knob("kernel", None,
         "CG-polish sweeps after each ND solve (0 on accelerators with "
         "explicit-inverse factors — polish cannot beat the inverse floor; "

@@ -736,10 +736,11 @@ class NDFactorizer:
         self.relay_cols = os.environ.get("MGB_ND_RELAY_COLS", "gather")
         # relay extend-add scatter granularity: segment_sum over whole
         # F x F fronts until the per-update window exceeds this many MB,
-        # then row-level segments (see the factor loop).  3MB keeps the
-        # measured L<=7 block path byte-identical while fixing the L=8
-        # root-depth scoped-vmem compile failure; 0 forces rows.
-        self.ea_row_mb = float(os.environ.get("MGB_ND_EA_ROWMB", "3"))
+        # then row-level segments (see the factor loop).  4MB keeps the
+        # measured L<=7 block path byte-identical (largest L=7 window:
+        # 3.91MB f64) while fixing the L=8 root-depth scoped-vmem
+        # compile failure (4.1MB f32 / 7.8MB f64 windows); 0 forces rows.
+        self.ea_row_mb = float(os.environ.get("MGB_ND_EA_ROWMB", "4"))
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and

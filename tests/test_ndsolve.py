@@ -105,7 +105,7 @@ def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum, G, ea):
             "gather" if "_gather" in ea else "mm"
         )
         os.environ["MGB_ND_EA_ROWMB"] = (
-            "0" if ea.endswith("_rows") else "3"
+            "0" if ea.endswith("_rows") else "4"
         )
         fz = NDFactorizer(sym, use_inv=use_inv)
     finally:

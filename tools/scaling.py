@@ -87,6 +87,12 @@ def main():
         action="store_true",
         help="count GSPMD collectives in the compiled level kernels",
     )
+    ap.add_argument(
+        "--dense-threshold", type=int, default=None,
+        help="override Backend.dense_threshold (e.g. 0 so the fine solver "
+        "selected by MGB_FINE_SOLVER is exercised at small L; the default "
+        "2048 routes fem2d L<=5 fine levels through the dense path)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -103,10 +109,13 @@ def main():
         if nd > avail:
             print(f"# skipping {nd} devices ({avail} available)")
             continue
+        bkw = {}
+        if args.dense_threshold is not None:
+            bkw["dense_threshold"] = args.dense_threshold
         backend = (
-            Backend(dtype=jnp.float64)
+            Backend(dtype=jnp.float64, **bkw)
             if nd == 1
-            else Backend(dtype=jnp.float64, mesh=make_mesh(nd))
+            else Backend(dtype=jnp.float64, mesh=make_mesh(nd), **bkw)
         )
         g = build(L=args.L, backend=backend)
         sol = mgb.amgb(g, p=args.p)  # warmup/compile
