@@ -80,6 +80,11 @@ KNOBS = {
         "xla (LAPACK custom call, CPU default)"),
     "MGB_ND_TRIINV": Knob("kernel", None,
         "triangular-inverse engine: blocked (block doubling) | xla"),
+    "MGB_ND_PANEL": Knob("kernel", "32",
+        "panel width for the blocked Cholesky / block-doubling inverse; "
+        "the v5e f64 factor is op-count bound (~1ms/kernel floor, 457 "
+        "GF/s chained f64 matmuls make panel flops nearly free), so "
+        "wider panels cut sequential stages — A/B 64/128 on TPU"),
     "MGB_ND_INV": Knob("kernel", None,
         "1 = apply factors via explicit inverse (batched MXU matmuls, "
         "accelerator default); 0 = substitution (CPU default)"),
@@ -188,6 +193,12 @@ KNOBS = {
     "MGB_CHEB_RATIO": Knob("kernel", "8.0",
         "Chebyshev window ratio lmax/lmin (64/512 measured shallower)"),
     "MGB_MG_DEPTH": Knob("kernel", None, "MG cycle depth"),
+    "MGB_MGCG_LEVELS": Knob("kernel", "0",
+        "truncate the V-cycle hierarchy to the top T levels (T >= 2) "
+        "with an EXACT dense f64 Cholesky at the new coarsest level; "
+        "T=2 is the two-grid cycle that removes every mid-level "
+        "smoother (the measured depth-ceiling culprit — broad spectrum "
+        "spread, not outliers; see mgcg_solve).  0 = full hierarchy"),
     "MGB_CYCLE_DTYPE": Knob("kernel", None,
         "V-cycle dtype (f32 preconditioner inside f64 CG)"),
     "MGB_SCALED_PRECOND": Knob("kernel", None,

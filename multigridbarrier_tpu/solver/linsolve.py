@@ -488,6 +488,27 @@ def mgcg_solve(
     Returns (xp, iterations, relative_residual at exit).  Static shapes;
     the loop is a lax.while_loop with no host syncs.
     """
+    # Truncated hierarchy (MGB_MGCG_LEVELS = T >= 2): keep only the top T
+    # levels and solve the new coarsest level EXACTLY (dense f64 Cholesky)
+    # instead of recursing through smoothed coarser levels.  Motivation
+    # (the measured depth ceiling, CLAUDE.md round-2 session-7): the
+    # V-cycle's mid-level Schwarz/Chebyshev smoothers cannot track
+    # barrier-weight anisotropy, and the preconditioned spectrum spreads
+    # BROADLY (tools/probe_mgcg_spectrum.py: 183/450 eigenvalues above 2x
+    # median) — not a few deflatable outliers, so deflation and window
+    # tuning were both measured-rejected.  Two-grid (T=2) removes every
+    # mid-level smoother: the only approximation left is fine-level
+    # element-block Schwarz, which handles exactly the element-local
+    # stiff modes barrier weights create; everything coarse-representable
+    # is corrected exactly.  Memory note: the dense coarse factor is
+    # O((nf*m_{fine-1})^2) — fine for fem2d L<=7 coarse levels.
+    tg = int(os.environ.get("MGB_MGCG_LEVELS", "0") or 0)
+    n_drop = len(systems) - tg if 2 <= tg < len(systems) else 0
+    if n_drop:
+        systems = systems[n_drop:]
+        embeds = embeds[n_drop:]
+        if lmaxs_in is not None:
+            lmaxs_in = lmaxs_in[n_drop:]
     fine = systems[-1]
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
@@ -613,6 +634,10 @@ def mgcg_solve(
     lmaxs_out = jnp.stack(lmaxs[1:]) if len(lmaxs) > 1 else jnp.zeros(
         0, dtype=bp.dtype
     )
+    if n_drop:  # keep the caller's carried-lmaxs length contract
+        lmaxs_out = jnp.concatenate(
+            [jnp.ones(n_drop, dtype=bp.dtype), lmaxs_out]
+        )
     lmaxs32 = [l.astype(f32c) for l in lmaxs]
 
     def coarse_solve(bp0_hat):

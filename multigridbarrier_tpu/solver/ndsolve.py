@@ -741,6 +741,14 @@ class NDFactorizer:
         # 3.91MB f64) while fixing the L=8 root-depth scoped-vmem
         # compile failure (4.1MB f32 / 7.8MB f64 windows); 0 forces rows.
         self.ea_row_mb = float(os.environ.get("MGB_ND_EA_ROWMB", "4"))
+        # Panel width for the blocked Cholesky / block-doubling inverse.
+        # The factor's f64 cost on the v5e is OP-COUNT bound, not flop
+        # bound (chained f64 matmul rate 457 GF/s would do the whole
+        # 1.3 GF L=7 factor in ~3ms; measured chol chain 354ms): at
+        # base=32 the F=694 root front runs 22 sequential panels x ~5
+        # ops against the ~1ms-per-kernel device floor.  Wider panels
+        # trade near-free matmul flops for fewer sequential stages.
+        self.panel = int(os.environ.get("MGB_ND_PANEL", "32"))
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -1058,8 +1066,8 @@ class NDFactorizer:
                 fronts = self._shard_batch(fronts)
                 if upto in ("ea", "chol"):
                     if upto == "chol":
-                        if self.chol == "blocked" and s > 32:
-                            Lt = _chol_blocked(fronts[:, :s, :s], mm=mm)
+                        if self.chol == "blocked" and s > self.panel:
+                            Lt = _chol_blocked(fronts[:, :s, :s], base=self.panel, mm=mm)
                         else:
                             Lt = jnp.linalg.cholesky(fronts[:, :s, :s])
                         out.append((Lt[:, :1, :1], Lt[:, :1, :1]))
@@ -1112,14 +1120,14 @@ class NDFactorizer:
             n_b = fronts.shape[0]
             sharded = self._shards(n_d)
             pin = self._pin_sharded if sharded else (lambda a: a)
-            if self.chol == "blocked" and s > 32:
-                Ls = _chol_blocked(fronts[:, :s, :s], mm=mm)
+            if self.chol == "blocked" and s > self.panel:
+                Ls = _chol_blocked(fronts[:, :s, :s], base=self.panel, mm=mm)
             else:
                 Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             Ls = pin(Ls)
             if self.use_inv:
-                if self.tri_inv == "blocked" and s > 32:
-                    Lk = _tri_inv_blocked(Ls, mm=mm)
+                if self.tri_inv == "blocked" and s > self.panel:
+                    Lk = _tri_inv_blocked(Ls, base=self.panel, mm=mm)
                 else:
                     ar = jnp.arange(s)
                     eye = (ar[:, None] == ar[None, :]).astype(dtype)
