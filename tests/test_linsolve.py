@@ -204,3 +204,48 @@ def test_mgcg_deflated_restart_matches_dense(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(xd), rtol=0, atol=1e-8
     )
+
+def test_mgcg_truncated_two_grid_matches_dense(monkeypatch):
+    # MGB_MGCG_LEVELS=2 drops every level but the top two and solves the
+    # new coarsest level exactly; on a 3-level anisotropic SPD system the
+    # truncated solve must match the dense solution and preserve the
+    # carried-lmaxs length contract (len(systems)-1 entries, dropped
+    # slots padded positive so a carried re-solve skips re-estimation).
+    nlev = 3
+    g = mgb.fem2d(L=nlev)
+    lb = g.bases["dirichlet"]
+    nf = 1
+    rng = np.random.default_rng(13)
+    systems = []
+    for lvl in range(nlev):
+        basis = lb[lvl]
+        nelem, nq, nl = basis.rloc.shape
+        w_e = jnp.asarray(np.asarray(g.w).reshape(nelem, nq))
+        He = jnp.einsum("eqa,eq,eqb->eab", basis.rloc, w_e, basis.rloc)
+        scale = jnp.asarray(10.0 ** rng.uniform(0, 6, size=(nelem, 1, 1)))
+        systems.append(LevelSystem(He * scale, basis.idx, basis.m,
+                                   pair_idx=basis.pair_idx))
+    m = lb[nlev - 1].m
+    bp = jnp.zeros((nf, m + 1), dtype=jnp.float64)
+    bp = bp.at[:, :m].set(jnp.asarray(rng.standard_normal((nf, m))))
+    monkeypatch.setenv("MGB_MGCG_LEVELS", "2")
+    x, its, rel, lmaxs = mgcg_solve(
+        systems, g.embed["dirichlet"][: nlev - 1], bp, nf, rtol=1e-12,
+        maxiter=400,
+    )
+    assert lmaxs.shape == (nlev - 1,)
+    assert bool(jnp.all(lmaxs > 0))
+    assert float(rel) < 1e-10
+    xd = dense_solve(systems[-1], nf, bp)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(xd), rtol=0, atol=1e-8
+    )
+    # carried lmaxs round-trip: a re-solve with lmaxs_in must accept the
+    # padded entries without re-estimating (same solution)
+    x2, _, rel2, _ = mgcg_solve(
+        systems, g.embed["dirichlet"][: nlev - 1], bp, nf, rtol=1e-12,
+        maxiter=400, lmaxs_in=lmaxs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x2), np.asarray(xd), rtol=0, atol=1e-8
+    )
