@@ -147,6 +147,27 @@ CASES_ALL = {
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_F32": "1",
           "MGB_ND_F32_MM_PREC": "highest"}),
     ],
+    # round-4 decision set: panel width for the blocked chol/inverse.
+    # The f64 factor is op-count bound (session-9: same graph 632ms f64
+    # vs 52.9ms f32); at panel=32 the F=694 root front runs 22
+    # sequential panels against the ~1ms/kernel floor — wider panels
+    # buy fewer stages with near-free (457 GF/s chained) matmul flops.
+    "panel": [
+        ("panel32 relay chol=blocked (prod)", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        ("panel64 relay chol=blocked", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_PANEL": "64"}),
+        ("panel128 relay chol=blocked", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_PANEL": "128"}),
+        ("panel256 relay chol=blocked", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_PANEL": "256"}),
+        ("panel128 f32", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_PANEL": "128", "_F32": "1"}),
+    ],
     "relay2": [
         ("leaf16 relay chol=blocked", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
