@@ -193,12 +193,25 @@ KNOBS = {
     "MGB_CHEB_RATIO": Knob("kernel", "8.0",
         "Chebyshev window ratio lmax/lmin (64/512 measured shallower)"),
     "MGB_MG_DEPTH": Knob("kernel", None, "MG cycle depth"),
-    "MGB_MGCG_LEVELS": Knob("kernel", "0",
+    "MGB_MGCG_LEVELS": Knob("kernel", "auto",
         "truncate the V-cycle hierarchy to the top T levels (T >= 2) "
         "with an EXACT dense f64 Cholesky at the new coarsest level; "
         "T=2 is the two-grid cycle that removes every mid-level "
         "smoother (the measured depth-ceiling culprit — broad spectrum "
-        "spread, not outliers; see mgcg_solve).  0 = full hierarchy"),
+        "spread, not outliers).  auto = two-grid when the coarse dense "
+        "factor fits MGB_MGCG_COARSE_CAP; 0 = full hierarchy.  "
+        "Measured (round 4): two-grid + the deep budget reaches rel "
+        "4.5e-8 at fem2d L=5 (vs the 4.7e-5 full-hierarchy ceiling)"),
+    "MGB_MGCG_COARSE_CAP": Knob("kernel", "4096",
+        "max nf*(m+1) of the truncated cycle's coarse level (the dense "
+        "f64 coarse factor is O(cap^2) memory, O(cap^3) flops per "
+        "Newton step); bigger coarse levels keep the full hierarchy — "
+        "ND-factored coarse solve is the documented growth path"),
+    "MGB_CG_MAXITER_DEEP": Knob("kernel", "1000",
+        "CG iteration cap when the truncated (exact-coarse) cycle is "
+        "active: the budget that lets CG capture the final 1e-5..1e-8 "
+        "of the Newton decrement (wired to truncation — only a cycle "
+        "strong enough to use the budget gets it)"),
     "MGB_CYCLE_DTYPE": Knob("kernel", None,
         "V-cycle dtype (f32 preconditioner inside f64 CG)"),
     "MGB_SCALED_PRECOND": Knob("kernel", None,

@@ -500,15 +500,38 @@ def mgcg_solve(
     # mid-level smoother: the only approximation left is fine-level
     # element-block Schwarz, which handles exactly the element-local
     # stiff modes barrier weights create; everything coarse-representable
-    # is corrected exactly.  Memory note: the dense coarse factor is
-    # O((nf*m_{fine-1})^2) — fine for fem2d L<=7 coarse levels.
-    tg = int(os.environ.get("MGB_MGCG_LEVELS", "0") or 0)
+    # is corrected exactly.
+    #
+    # Round-4 measurements (fem2d, CPU, vs exact-direction ground truths):
+    # the old ~5e-5 relative depth ceiling was the CG BUDGET, not a
+    # preconditioner floor — full-hierarchy CG with maxiter 4000/q_eps 0
+    # reaches 3.2e-7 at L=5 (2930s); two-grid + maxiter 1000 + q_eps 0
+    # reaches 4.5e-8 in 240s (160 its — the exact-direction iteration
+    # count).  The deeper budget is therefore wired to truncation below:
+    # only a cycle strong enough to use it gets it.  Memory note: the
+    # dense coarse factor is O((nf*m_{fine-1})^2), so 'auto' activates
+    # two-grid only when nf*(m_c+1) <= MGB_MGCG_COARSE_CAP (default
+    # 4096); beyond that the full hierarchy (and classic budget) is kept
+    # — an ND-factored coarse solve is the documented growth path.
+    tg_env = os.environ.get("MGB_MGCG_LEVELS", "auto")
+    if tg_env == "auto":
+        cap = int(os.environ.get("MGB_MGCG_COARSE_CAP", "4096"))
+        tg = (
+            2
+            if len(systems) > 2 and nf * (systems[-2].m + 1) <= cap
+            else 0
+        )
+    else:
+        tg = int(tg_env or 0)
     n_drop = len(systems) - tg if 2 <= tg < len(systems) else 0
     if n_drop:
         systems = systems[n_drop:]
         embeds = embeds[n_drop:]
         if lmaxs_in is not None:
             lmaxs_in = lmaxs_in[n_drop:]
+        maxiter = max(
+            maxiter, int(os.environ.get("MGB_CG_MAXITER_DEEP", "1000"))
+        )
     fine = systems[-1]
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
@@ -704,8 +727,17 @@ def mgcg_solve(
     #   case and return the CURRENT iterate — if it is garbage the line
     #   search rejects it and the Newton loop reports an explicit LOCKED,
     #   never a silent no-op.
+    # With the truncated (exact-coarse) cycle the stagnation exit is
+    # disabled by default: the last ~1e-5..1e-8 of the Newton decrement
+    # arrives slowly through the spread spectrum and q-stagnation was
+    # measured to be exactly what froze the depth ceiling (see the
+    # truncation comment at the top).  The floor bail and breakdown
+    # guards still bound the beyond-f64 burn.
     q_eps = jnp.asarray(
-        float(os.environ.get("MGB_CG_QEPS", "1e-5")), dtype=bp.dtype
+        float(
+            os.environ.get("MGB_CG_QEPS", "0" if n_drop else "1e-5")
+        ),
+        dtype=bp.dtype,
     )
     # With the Schwarz smoother, mid-path solves legitimately wander above
     # ||b|| for ~30-80 iterations before collapsing (measured fem2d L=5);
