@@ -2110,7 +2110,21 @@ class _SolverCtx:
         scd0 = 4
         scd, scd_left = scd0, 0
 
-        def _policy_update(tried, ok, cgits):
+        def _policy_update(tried, ok, cgits, floorish=None):
+            # floorish: True when the step's Newton decrement sits in the
+            # near-floor band (stage about to stop).  Certification there
+            # fails for a NON-t reason — the relative gate is unattainable
+            # against a vanishing gradient — so such failures must not
+            # poison the cross-stage retirement record: the FMG warmup
+            # pre-converges every coarse level at the first t, the main
+            # path re-enters those stages at the floor, and recording
+            # dead_t=t_first there killed the f32 engine for the whole
+            # path (observed on the v5e L=8 run: warmup level 5 certified
+            # 7/7, main path all-f64 from t=0.1).  None (the stage-init
+            # solve, no decrement measured yet) is treated like the floor
+            # band: the boundary is recorded one step later, from a step
+            # that demonstrably failed mid-flight.  In-stage throttling
+            # (cooldown, cap halving) applies to every failure as before.
             nonlocal fail_streak, cooldown, cooldown_left, cap_now
             nonlocal n_factor, n_reuse, engine
             if not tried:
@@ -2126,11 +2140,12 @@ class _SolverCtx:
                 fail_streak += 1
                 cap_now = max(10, cap_now // 2)
                 if fail_streak >= 2:
-                    # record the retirement boundary for later stages
-                    prev = h.get("f32_dead_t")
-                    h["f32_dead_t"] = (
-                        float(t) if prev is None else min(prev, float(t))
-                    )
+                    if floorish is False:
+                        # record the retirement boundary for later stages
+                        prev = h.get("f32_dead_t")
+                        h["f32_dead_t"] = (
+                            float(t) if prev is None else min(prev, float(t))
+                        )
                     if stale_on:
                         engine = "stale"  # f32 retires for this run
                     else:
@@ -2265,7 +2280,19 @@ class _SolverCtx:
                 )
                 z = z_new
                 cgits, cgrel = float(its_a), float(rel_a)
-                _policy_update(try_cheap, bool(ok_a), cgits)
+                # near-floor discriminator (same bands as _spec_ok): a
+                # small decrement or floor-band |dphi| marks the stage as
+                # about-to-stop, where gate failures carry no viability
+                # information
+                lam2_f, dphi_f = float(lam2_a), float(dphi_a)
+                phi_f = float(t) * float(cy_a) + float(fy0_a)
+                floor_f = 64.0 * eps * (abs(phi_f) + 1.0)
+                floorish = (
+                    not math.isfinite(lam2_f)
+                    or lam2_f <= max(0.25, 4.0 * theta2)
+                    or abs(dphi_f) <= 4.0 * floor_f
+                )
+                _policy_update(try_cheap, bool(ok_a), cgits, floorish)
             else:
                 if fac is None:
                     fac = h["nd_fac_zero"]()
