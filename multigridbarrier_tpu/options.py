@@ -193,6 +193,10 @@ KNOBS = {
     "MGB_CHEB_RATIO": Knob("kernel", "8.0",
         "Chebyshev window ratio lmax/lmin (64/512 measured shallower)"),
     "MGB_MG_DEPTH": Knob("kernel", None, "MG cycle depth"),
+    "MGB_MG_DEGREE": Knob("kernel", "3",
+        "Chebyshev smoothing degree per V-cycle leg; in the truncated "
+        "(exact-coarse) cycle the fine smoother is the only remaining "
+        "approximation, so this is the accuracy/cost dial there"),
     "MGB_MGCG_LEVELS": Knob("kernel", "auto",
         "truncate the V-cycle hierarchy to the top T levels (T >= 2) "
         "with an EXACT dense f64 Cholesky at the new coarsest level; "

@@ -532,6 +532,10 @@ def mgcg_solve(
         maxiter = max(
             maxiter, int(os.environ.get("MGB_CG_MAXITER_DEEP", "1000"))
         )
+    # smoother degree override (the fine smoother is the ONLY
+    # approximation left in the truncated cycle, so its degree is the
+    # accuracy/cost dial there)
+    degree = int(os.environ.get("MGB_MG_DEGREE", str(degree)))
     fine = systems[-1]
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
