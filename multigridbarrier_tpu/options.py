@@ -194,9 +194,12 @@ KNOBS = {
         "Chebyshev window ratio lmax/lmin (64/512 measured shallower)"),
     "MGB_MG_DEPTH": Knob("kernel", None, "MG cycle depth"),
     "MGB_MG_DEGREE": Knob("kernel", "3",
-        "Chebyshev smoothing degree per V-cycle leg; in the truncated "
-        "(exact-coarse) cycle the fine smoother is the only remaining "
-        "approximation, so this is the accuracy/cost dial there"),
+        "Chebyshev smoothing degree per V-cycle leg.  Raising it is "
+        "measured-REJECTED as a two-grid accuracy dial (fem2d L=6, "
+        "T=2 deep budget: degree 8 -> rel 3.1e-4 and an early lock at "
+        "95 its vs degree 3's 9.8e-6 at 281 its): higher degree "
+        "amplifies Chebyshev window mistargeting on barrier spectra "
+        "instead of strengthening the cycle.  3 stays"),
     "MGB_MGCG_LEVELS": Knob("kernel", "auto",
         "truncate the V-cycle hierarchy to the top T levels (T >= 2) "
         "with an EXACT dense f64 Cholesky at the new coarsest level; "
