@@ -148,10 +148,12 @@ CASES_ALL = {
           "MGB_ND_F32_MM_PREC": "highest"}),
     ],
     # round-4 decision set: panel width for the blocked chol/inverse.
-    # The f64 factor is op-count bound (session-9: same graph 632ms f64
-    # vs 52.9ms f32); at panel=32 the F=694 root front runs 22
-    # sequential panels against the ~1ms/kernel floor — wider panels
-    # buy fewer stages with near-free (457 GF/s chained) matmul flops.
+    # MEASURED (v5e, L=7 leaf16 relay): panel32 601.7ms / panel64
+    # 626.3 / panel128 663.4 / panel256 662.5; panel128 f32 53.7ms.
+    # Verdict: panel32 stays — the padded-panel f64-emulation flops
+    # grow faster than the saved sequential stages (same shape as the
+    # leaf64 rejection).  The 457 GF/s "chained matmul" rate does not
+    # transfer to the factor's small batched panels.
     "panel": [
         ("panel32 relay chol=blocked (prod)", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
