@@ -170,6 +170,20 @@ CASES_ALL = {
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
           "MGB_ND_PANEL": "128", "_F32": "1"}),
     ],
+    # round-4 follow-ups: (a) ozaki s6 retry (the s8 factor program was
+    # SIGKILLed by the remote compile helper); (b) substitution
+    # application (use_inv=0) — the explicit inverse is invert-once-
+    # use-once on the f64 fallback leg, so if the substitution solve
+    # costs < inverse-formation savings (~141ms) it wins the endgame.
+    "r4inv": [
+        ("f64 inv (prod)", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        ("f64 subst", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked", "_INV": "0"}),
+        ("f64 ozaki s6", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_MM": "ozaki", "MGB_ND_MM_SLICES": "6"}),
+    ],
     "relay2": [
         ("leaf16 relay chol=blocked", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
@@ -207,6 +221,7 @@ for label, leaf, envs in CASES:
     saved = {}
     f32 = envs.pop("_F32", None) == "1"
     upto = envs.pop("_UPTO", None)
+    use_inv = envs.pop("_INV", "1") != "0"
     # MGB_ND_CHOL's default is backend-dependent (blocked on
     # accelerators since 5b7d501); pin every case that doesn't set it
     # to the xla engine so sweep numbers stay comparable with the
@@ -216,7 +231,7 @@ for label, leaf, envs in CASES:
         saved[k] = os.environ.get(k)
         os.environ[k] = v
     try:
-        fz = NDFactorizer(sym, use_inv=True)
+        fz = NDFactorizer(sym, use_inv=use_inv)
         cst = fz.consts()
         vals_j = vals_for(sym, np.random.default_rng(0))
         if upto:
