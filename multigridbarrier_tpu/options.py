@@ -264,8 +264,14 @@ KNOBS = {
     # -- measured-REJECTED machinery (negative-result reproducibility) ---
     "MGB_ND_MM": Knob("experimental", "xla",
         "matmul engine; ozaki = bf16-slice f64 emulation "
-        "(experimental/ozmm.py) — REJECTED: the factor was never "
-        "flop-bound (session-8/9)"),
+        "(experimental/ozmm.py).  The all-groups form OOMs the remote "
+        "compile helper at L=7; pair with MGB_ND_MM_MINF (round-4 "
+        "probe: standalone root-shape ozaki compiles, rel err 1.1e-15)"),
+    "MGB_ND_MM_MINF": Knob("experimental", "0",
+        "minimum dense-front width (DOFs) for the ozaki engine; "
+        "smaller groups keep the native dot.  Bounds the unrolled "
+        "program size (compile-helper OOM) and skips latency-bound "
+        "small panels where 36 bf16 passes lose"),
     "MGB_ND_F32_TMAX": Knob("experimental", "0",
         "direct-f32 factorization below this t — REJECTED: leaf "
         "separators are f32-singular even at t=1e3; kept as the "

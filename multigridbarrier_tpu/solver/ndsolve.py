@@ -717,6 +717,12 @@ class NDFactorizer:
         # far beyond the f32 floor that broke MGB_ND_F32_TMAX.
         self.mm_mode = os.environ.get("MGB_ND_MM", "native")
         self.mm_slices = int(os.environ.get("MGB_ND_MM_SLICES", "8"))
+        # minimum front width (DOFs) for the ozaki engine; groups with
+        # smaller fronts keep the native dot (see factor(): the fully-
+        # unrolled ozaki program OOMs the remote compile helper, and
+        # small batched panels are latency-bound where 36 bf16 passes
+        # lose anyway).  0 = every group.
+        self.mm_minf = int(os.environ.get("MGB_ND_MM_MINF", "0"))
         # extend-add structure: 'fanin' = flat Schur buffer + one
         # combined segment_sum per group (deepest-owner targets);
         # 'relay' = classic multifrontal relay through the parent as
@@ -959,9 +965,25 @@ class NDFactorizer:
             from ..experimental import ozmm
 
             ns = self.mm_slices
-            mm = lambda a, b: ozmm.matmul(a, b, nslice=ns)
+            mm_oz = lambda a, b: ozmm.matmul(a, b, nslice=ns)
+
+            # MGB_ND_MM_MINF: apply ozaki only to groups whose dense
+            # front is at least this many DOFs wide (0 = everywhere).
+            # The fully-ozaki factor program SIGKILLs the axon remote
+            # compile helper (compile-side OOM) at fem2d L=7, while a
+            # standalone ozaki matmul at the root-front shape compiles
+            # in 25s with rel err 1.1e-15 (tools/probe_ozmm_compile.py)
+            # — the blowup is cumulative unrolled-op count, not the
+            # construct.  Restricting ozaki to the few top groups keeps
+            # the program compilable and targets the cubically-dominant
+            # fronts where MXU passes can actually beat emulated f64.
+            def _mm_for(F_dofs):
+                if F_dofs >= max(1, self.mm_minf):
+                    return mm_oz
+                return _mm_native
         else:
-            mm = _mm_native
+            def _mm_for(F_dofs):
+                return _mm_native
         vflat = vals.astype(dtype)  # flat (f1*nf+f2)*nuniq + pid layout
         Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
         relay = self.ea_mode == "relay"
@@ -976,6 +998,7 @@ class NDFactorizer:
             n_d = len(sym.by_depth[d])
             F = Fn[d] * nf
             s = sym.s_pad[d] * nf
+            mm = _mm_for(F)
             # ONE segment_sum assembles everything this group needs —
             # deduplicated matrix values + child Schur contributions +
             # pad-slot unit diagonals — at DOF level, producing the

@@ -184,6 +184,20 @@ CASES_ALL = {
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
           "MGB_ND_MM": "ozaki", "MGB_ND_MM_SLICES": "6"}),
     ],
+    # round-4: top-groups-only ozaki (full-program ozaki OOMs the
+    # compile helper; standalone root-shape ozaki compiles fine).
+    # minf=640 hits only the root group at fem2d L=7 leaf16 (F=694);
+    # minf=256 the top ~3 groups.
+    "oztop": [
+        ("f64 native (prod)", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
+        ("f64 ozaki minf=640", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_MM": "ozaki", "MGB_ND_MM_MINF": "640"}),
+        ("f64 ozaki minf=256", 16,
+         {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked",
+          "MGB_ND_MM": "ozaki", "MGB_ND_MM_MINF": "256"}),
+    ],
     "relay2": [
         ("leaf16 relay chol=blocked", 16,
          {"MGB_ND_EA": "relay", "MGB_ND_CHOL": "blocked"}),
