@@ -177,10 +177,12 @@ def main():
     # Repeated timed solves quantify run noise (the reference's own
     # methodology is BenchmarkTools medians for L<=5, single-run above —
     # SURVEY.md section 6).  Repetition count shrinks with problem size so
-    # the bench stays inside the driver budget: 3 for L<=6, 2 at L=7
-    # (one extra solve now that warmup has paid all compiles), 1 at L=8.
+    # the bench stays inside the driver budget: median-of-3 through L=7
+    # (n=2 cannot distinguish a regression from queue noise at
+    # parity-vs-win stakes — round-4 verdict; warmup has paid all
+    # compiles, so each extra timed solve is ~100s), 1 at L=8.
     if problem == "fem2d":
-        reps_default = 3 if L <= 6 else (2 if L == 7 else 1)
+        reps_default = 3 if L <= 7 else 1
     else:
         reps_default = 1  # fem3d L=3 k=3 is ~160s/solve on the 1-core host
     reps = int(os.environ.get("MGB_BENCH_REPS", str(reps_default)))
@@ -207,6 +209,10 @@ def main():
     )
     note = os.environ.get("MGB_BENCH_PLATFORM_NOTE")
     tag = f"{dtype_name}, {note}" if note else dtype_name
+    # final objective: the honesty check (round-2 finding — any speedup
+    # claim must be validated against the converged c_dot_Dz; recorded
+    # floor bands live in tests/test_ground_truth.py)
+    objective = float(sol.SOL_main.c_dot_Dz[-1]) if sol.SOL_main.c_dot_Dz else None
     print(
         json.dumps(
             {
@@ -216,6 +222,7 @@ def main():
                 "vs_baseline": round(base / elapsed, 3) if base else None,
                 "n_timed": len(times),
                 "spread_s": round(spread, 4),
+                "objective": objective,
             }
         )
     )
