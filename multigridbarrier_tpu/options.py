@@ -262,7 +262,7 @@ KNOBS = {
     "MGB_NO_NATIVE": Knob("kernel", "0",
         "disable the C++ geometry kernels (pure-NumPy fallback)"),
     # -- measured-REJECTED machinery (negative-result reproducibility) ---
-    "MGB_ND_MM": Knob("experimental", "xla",
+    "MGB_ND_MM": Knob("experimental", "native",
         "matmul engine; ozaki = bf16-slice f64 emulation "
         "(experimental/ozmm.py).  The all-groups form OOMs the remote "
         "compile helper at L=7; pair with MGB_ND_MM_MINF (round-4 "

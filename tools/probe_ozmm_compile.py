@@ -34,7 +34,12 @@ def timed(label, fn, *args, n=3):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    print(f"{label:44s} compile+1st {tc:7.1f}s   run {min(ts)*1e3:8.2f} ms",
+    # NOTE: per-call block_until_ready run times are RTT-bound (~30-35ms,
+    # CLAUDE.md session-8) for sub-RTT kernels — at small shapes the run
+    # column measures tunnel latency, not device rate; only compile+1st
+    # (and run deltas well above ~35ms) inform the ozaki-vs-native call.
+    print(f"{label:44s} compile+1st {tc:7.1f}s   run {min(ts)*1e3:8.2f} ms"
+          " (RTT-bound below ~35ms)",
           flush=True)
     return out
 
