@@ -557,6 +557,22 @@ def _mm_native(A, B):
     return A @ B
 
 
+def _round_bits(x, q: int):
+    """Round-to-nearest truncation of f64 mantissas to q bits (Veltkamp
+    splitting, exact in f64 arithmetic).  The factor-precision SIMULATOR:
+    applying it at every stage output of the multifrontal schedule
+    models a factorization computed in q-bit arithmetic (double-float
+    pair-f32 ~ 48 bits, f32 ~ 24) without building that arithmetic —
+    used to decide, on CPU, which precision profile still yields a
+    certifiable preconditioner at endgame conditioning before any TPU
+    kernel work (round-4 verdict item 1)."""
+    if q >= 53:
+        return x
+    c = jnp.asarray(float(1 + (1 << (53 - q))), x.dtype)
+    t = x * c
+    return t - (t - x)
+
+
 def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native):
     """Explicit inverse of batched lower-triangular (n_d, s, s) matrices
     by block doubling: invert base-size diagonal blocks once (one small
@@ -755,6 +771,13 @@ class NDFactorizer:
         # ops against the ~1ms-per-kernel device floor.  Wider panels
         # trade near-free matmul flops for fewer sequential stages.
         self.panel = int(os.environ.get("MGB_ND_PANEL", "32"))
+        # Factor-precision simulator (see _round_bits): None = off; an
+        # int truncates every stage output of an f64 factorization to
+        # that many mantissa bits; a list gives per-GROUP bit widths
+        # (index = group id d, ascending depth — hybrid profiles like
+        # f32-quality leaves under f64 roots).  Set directly by probes/
+        # tests; not a production knob.
+        self.qbits = None
 
     def consts(self):
         """Device-operand pytree of all index maps (pass to factor and
@@ -999,6 +1022,18 @@ class NDFactorizer:
             F = Fn[d] * nf
             s = sym.s_pad[d] * nf
             mm = _mm_for(F)
+            # factor-precision simulator: truncate this group's stage
+            # outputs (and every mm product) to qbits mantissa bits
+            qb = self.qbits
+            if qb is not None and dtype == jnp.float64:
+                qv = int(qb[d]) if isinstance(qb, (list, tuple)) else int(qb)
+            else:
+                qv = 53
+            if qv < 53:
+                qf = lambda a, _q=qv: _round_bits(a, _q)
+                mm = lambda a, b, _mm=mm, _qf=qf: _qf(_mm(a, b))
+            else:
+                qf = lambda a: a
             # ONE segment_sum assembles everything this group needs —
             # deduplicated matrix values + child Schur contributions +
             # pad-slot unit diagonals — at DOF level, producing the
@@ -1137,6 +1172,7 @@ class NDFactorizer:
                         fronts
                     )[:n_d, s:, s:] if relay else None
                 continue
+            fronts = qf(fronts)
             # fronts may carry eye-padded batch entries beyond n_d (see
             # _shard_batch); the batched dense ops run on the padded
             # batch, results are sliced back before leaving the group.
@@ -1147,7 +1183,7 @@ class NDFactorizer:
                 Ls = _chol_blocked(fronts[:, :s, :s], base=self.panel, mm=mm)
             else:
                 Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
-            Ls = pin(Ls)
+            Ls = pin(qf(Ls))
             if self.use_inv:
                 if self.tri_inv == "blocked" and s > self.panel:
                     Lk = _tri_inv_blocked(Ls, base=self.panel, mm=mm)
@@ -1159,13 +1195,15 @@ class NDFactorizer:
                         eye[None] * jnp.ones((n_b, 1, 1), dtype),
                         lower=True,
                     )
-                Lk = pin(Lk)
-                Lsb = pin(mm(Lk, fronts[:, :s, s:]))
+                Lk = pin(qf(Lk))
+                Lsb = pin(qf(mm(Lk, fronts[:, :s, s:])))
             else:
                 Lk = Ls
                 Lsb = pin(
-                    jax.scipy.linalg.solve_triangular(
-                        Ls, fronts[:, :s, s:], lower=True
+                    qf(
+                        jax.scipy.linalg.solve_triangular(
+                            Ls, fronts[:, :s, s:], lower=True
+                        )
                     )
                 )
             if sharded:
@@ -1179,8 +1217,8 @@ class NDFactorizer:
             else:
                 out.append((Lk, Lsb))
             if sym.b_pad[d]:
-                schur = fronts[:, s:, s:] - mm(
-                    jnp.swapaxes(Lsb, -1, -2), Lsb
+                schur = qf(
+                    fronts[:, s:, s:] - mm(jnp.swapaxes(Lsb, -1, -2), Lsb)
                 )
                 schur = pin(schur)
                 if sharded:
