@@ -220,6 +220,112 @@ def chol_unrolled(a, n: int):
     return lh, ll
 
 
+def chol_looped(a, n: int):
+    """chol_unrolled as a lax.fori_loop: same arithmetic, O(1) program
+    size instead of O(n) — the factor embeds one of these per panel and
+    the axon remote compile service SIGKILLs oversized programs (the
+    all-groups ozaki lesson, CLAUDE.md round-4).  Dynamic column index
+    j via masked full-width ops; static shapes throughout."""
+    ah, al = a
+    shape = ah.shape
+    ar = jnp.arange(n)
+    lh0 = jnp.zeros_like(ah)
+
+    def body(j, st):
+        ah, al, lh, ll = st
+        colmask = (ar == j).astype(jnp.float32)  # (n,)
+        col = (
+            jnp.einsum("...ij,j->...i", ah, colmask),
+            jnp.einsum("...ij,j->...i", al, colmask),
+        )
+        dj = (
+            jnp.einsum("...i,i->...", col[0], colmask)[..., None],
+            jnp.einsum("...i,i->...", col[1], colmask)[..., None],
+        )
+        rinv = rsqrt(dj)
+        cj = mul(col, (jnp.broadcast_to(rinv[0], col[0].shape),
+                       jnp.broadcast_to(rinv[1], col[0].shape)))
+        rowmask = (ar >= j).astype(jnp.float32)  # zero above diagonal
+        cjh = cj[0] * rowmask
+        cjl = cj[1] * rowmask
+        lh = lh + cjh[..., :, None] * colmask
+        ll = ll + cjl[..., :, None] * colmask
+        cmask = (ar > j).astype(jnp.float32)
+        outer = mul(
+            (cjh[..., :, None], cjl[..., :, None]),
+            (cjh[..., None, :] * cmask, cjl[..., None, :] * cmask),
+        )
+        ah, al = sub((ah, al), outer)
+        return ah, al, lh, ll
+
+    _, _, lh, ll = jax.lax.fori_loop(
+        0, n, body, (ah, al, lh0, jnp.zeros_like(al))
+    )
+    return lh, ll
+
+
+def tri_lower_inv_looped(l, n: int):
+    """Forward substitution against the identity as a lax.fori_loop over
+    rows (compile-size twin of tri_lower_inv_unrolled): row j's df dot
+    over k < j is a masked full-width pairwise tree sum (static shapes;
+    the mask supplies the k < j restriction)."""
+    lh, ll = l
+    ar = jnp.arange(n)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    n2 = 1 << max(1, (n - 1)).bit_length()
+
+    def tree_sum(th, tl):
+        # pad the contraction axis (-2) to a power of two, then halve
+        pad = n2 - th.shape[-2]
+        if pad:
+            th = jnp.concatenate(
+                [th, jnp.zeros(th.shape[:-2] + (pad,) + th.shape[-1:],
+                               th.dtype)], axis=-2)
+            tl = jnp.concatenate(
+                [tl, jnp.zeros(tl.shape[:-2] + (pad,) + tl.shape[-1:],
+                               tl.dtype)], axis=-2)
+        k = n2
+        while k > 1:
+            half = k // 2
+            a0 = (th[..., :half, :], tl[..., :half, :])
+            a1 = (th[..., half:k, :], tl[..., half:k, :])
+            th, tl = add(a0, a1)
+            k = half
+        return th[..., 0, :], tl[..., 0, :]
+
+    def body(j, st):
+        xh, xl = st
+        rowmask = (ar == j).astype(jnp.float32)
+        lrow = (
+            jnp.einsum("...ij,i->...j", lh, rowmask),
+            jnp.einsum("...ij,i->...j", ll, rowmask),
+        )  # (..., n) = L[j, :]
+        kmask = (ar < j).astype(jnp.float32)
+        terms = mul(
+            ((lrow[0] * kmask)[..., :, None],
+             (lrow[1] * kmask)[..., :, None]),
+            (xh, xl),
+        )
+        sh, sl = tree_sum(terms[0], terms[1])
+        erow = jnp.broadcast_to(eye[0] * 0.0, sh.shape) + jnp.einsum(
+            "ij,i->j", eye, rowmask
+        )
+        acc = sub((erow, jnp.zeros_like(erow)), (sh, sl))
+        djj = (
+            jnp.einsum("...j,j->...", lrow[0], rowmask)[..., None],
+            jnp.einsum("...j,j->...", lrow[1], rowmask)[..., None],
+        )
+        rj = recip(djj)
+        row = mul(acc, (jnp.broadcast_to(rj[0], acc[0].shape),
+                        jnp.broadcast_to(rj[1], acc[0].shape)))
+        xh = xh + row[0][..., None, :] * rowmask[:, None]
+        xl = xl + row[1][..., None, :] * rowmask[:, None]
+        return xh, xl
+
+    xh0 = jnp.zeros_like(lh)
+    return jax.lax.fori_loop(0, n, body, (xh0, jnp.zeros_like(ll)))
+
+
 def tri_lower_inv_unrolled(l, n: int):
     """Batched df inverse of lower-triangular (..., n, n) pairs by
     unrolled forward substitution against the identity, column-parallel:

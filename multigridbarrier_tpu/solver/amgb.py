@@ -418,6 +418,61 @@ class _SolverCtx:
         T = jnp.einsum("eqjl,eqlc->eqjc", Y2w_e, P)
         return jnp.einsum("eqjc,eqjd->ecd", P, T)
 
+    def _get_mgcg_ndcoarse(self, level: int):
+        """ND-factored coarse solve for the truncated two-grid MG-CG
+        cycle when the fine-1 level exceeds the dense coarse cap
+        (linsolve.mgcg_solve truncation comment; round-4 verdict item 6
+        — the reference's MUMPS is exact at every scale,
+        /root/reference/src/MultiGridBarrierMPI.jl:87).
+
+        Returns (static, args): `static` carries the NDFactorizer + the
+        segment count (closed over by the jitted step), `args` the
+        device-operand index maps (threaded as jit ARGUMENTS — closure
+        constants of this size get serialized into the HLO and the
+        remote compile service rejects them, CLAUDE.md session-3).
+        (None, {}) when the level's cycle keeps the dense coarse."""
+        subs = self._sub_levels(level)
+        if len(subs) < 3:
+            return None, {}
+        lc = subs[-2]
+        cap = int(os.environ.get("MGB_MGCG_COARSE_CAP", "4096"))
+        if self.spec.nfields * (self._bases[lc].m + 1) <= cap:
+            return None, {}
+        pattern = self._get_host_pattern(lc)  # creates self._hosts[lc]
+        h = self._hosts[lc]
+        if "mgcg_ndc" not in h:
+            from .ndsolve import NDFactorizer, NDSymbolic, node_coords
+
+            basis_c = self._bases[lc]
+            sym = NDSymbolic(
+                np.asarray(basis_c.idx),
+                basis_c.m,
+                self.spec.nfields,
+                node_coords(
+                    np.asarray(basis_c.idx), basis_c.m,
+                    np.asarray(self.geometry.x), basis_c.nq,
+                ),
+                leaf=int(os.environ.get("MGB_ND_LEAF", "16")),
+            )
+            fz = NDFactorizer(
+                sym, dtype=self.backend.dtype, mesh=self.backend.mesh
+            )
+
+            class _Static:
+                pass
+
+            st = _Static()
+            st.fz = fz
+            st.nseg = pattern.nseg
+            h["mgcg_ndc"] = (
+                st,
+                dict(
+                    consts=fz.consts(),
+                    full_ids=jnp.asarray(pattern.full_ids),
+                ),
+            )
+        return h["mgcg_ndc"]
+
     def _build_step(self, level: int):
         spec, barrier, ops = self.spec, self.barrier, self.ops
         nf, k = spec.nfields, spec.k
@@ -443,9 +498,14 @@ class _SolverCtx:
         ) and not use_dense
 
         n_smooth = max(1, len(sub_levels) - 1)
+        # ND-factored coarse for the truncated two-grid cycle (static
+        # half; the index-map half rides the `ndc` jit argument)
+        ndc_static = (
+            None if use_dense else self._get_mgcg_ndcoarse(level)[0]
+        )
 
         def step(Ps, bases, embeds, rloc, x, w, c, z, t, lmaxs, cg_eta,
-                 dv_prev):
+                 dv_prev, ndc):
             # Ps/bases: per-sublevel element tensors (finest = Ps[-1]).
             # cg_eta: forcing term for this step's linear solve (currently
             # constant = cg_rtol; see the measured rejection of adaptive
@@ -506,6 +566,8 @@ class _SolverCtx:
                     # most of the new system's decrement late in the path
                     # (see mgcg_solve); gated off for cold shapes
                     x0_in=dv_prev if use_warmstart else None,
+                    coarse_nd=ndc_static,
+                    coarse_nd_args=ndc if ndc_static is not None else None,
                 )
             lam2 = -jnp.vdot(gv, dvp)
 
@@ -600,7 +662,7 @@ class _SolverCtx:
         HIST = max(5, 2 * self.stall_win - 1)
 
         def loop(Bs, idxs, embeds, rloc, x, w, c, z0, t, theta2, lmax0,
-                 hist0, kg0, dv0):
+                 hist0, kg0, dv0, ndc):
             dtype = z0.dtype
             tr0 = {
                 key: jnp.zeros(chunk + HIST, dtype=dtype).at[:HIST].set(
@@ -640,7 +702,7 @@ class _SolverCtx:
                 (z_new, lam2, alpha, phi0, cy, dphi, lmax_new, cgits,
                  cgrel, dv_new) = raw(
                     Bs, idxs, embeds, rloc, x, w, c, z, t, s["lmax"], eta,
-                    s["dv"]
+                    s["dv"], ndc
                 )
                 tr = dict(
                     lam2=tr["lam2"].at[k].set(lam2),
@@ -2573,6 +2635,7 @@ class _SolverCtx:
             self._steps[level] = (jax.jit(raw), raw.n_smooth)
         fn, n_smooth = self._steps[level]
         Ps, idxs, embeds, rloc = self._level_args(level)
+        nf, m = self.spec.nfields, self._bases[level].m
         out = fn(
             Ps,
             idxs,
@@ -2585,6 +2648,8 @@ class _SolverCtx:
             jnp.asarray(t, dtype=z.dtype),
             jnp.zeros(n_smooth, dtype=z.dtype),
             jnp.asarray(self.cg_rtol, dtype=z.dtype),
+            jnp.zeros((nf, m + 1), dtype=z.dtype),
+            self._get_mgcg_ndcoarse(level)[1],
         )
         return out[:6]
 
@@ -2645,6 +2710,7 @@ class _SolverCtx:
                         hist,
                         jnp.asarray(total, jnp.int32),
                         dv,
+                        self._get_mgcg_ndcoarse(level)[1],
                     )
                     break
                 except jax.errors.JaxRuntimeError as e:

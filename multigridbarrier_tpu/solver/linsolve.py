@@ -463,6 +463,8 @@ def mgcg_solve(
     stagnation: int = 12,
     lmaxs_in=None,
     x0_in=None,
+    coarse_nd=None,
+    coarse_nd_args=None,
 ):
     """Multigrid-preconditioned CG on the finest level of `systems`.
 
@@ -513,16 +515,30 @@ def mgcg_solve(
     # two-grid only when nf*(m_c+1) <= MGB_MGCG_COARSE_CAP (default
     # 4096); beyond that the full hierarchy (and classic budget) is kept
     # — an ND-factored coarse solve is the documented growth path.
+    # Above the dense cap the coarse level is factored by the ND
+    # multifrontal instead (coarse_nd = the level's NDFactorizer,
+    # coarse_nd_args = {"consts", "full_ids", "nseg"} threaded as jit
+    # arguments — round-4 verdict item 6: MUMPS has no such cap and the
+    # two-grid fix must not stop at nf*m = 4096).
+    use_nd_coarse = False
     tg_env = os.environ.get("MGB_MGCG_LEVELS", "auto")
     if tg_env == "auto":
         cap = int(os.environ.get("MGB_MGCG_COARSE_CAP", "4096"))
-        tg = (
-            2
-            if len(systems) > 2 and nf * (systems[-2].m + 1) <= cap
-            else 0
-        )
+        if len(systems) > 2 and nf * (systems[-2].m + 1) <= cap:
+            tg = 2
+        elif len(systems) > 2 and coarse_nd is not None:
+            tg = 2
+            use_nd_coarse = True
+        else:
+            tg = 0
     else:
         tg = int(tg_env or 0)
+        use_nd_coarse = (
+            2 <= tg < len(systems)
+            and coarse_nd is not None
+            and nf * (systems[-2].m + 1)
+            > int(os.environ.get("MGB_MGCG_COARSE_CAP", "4096"))
+        )
     n_drop = len(systems) - tg if 2 <= tg < len(systems) else 0
     if n_drop:
         systems = systems[n_drop:]
@@ -539,7 +555,26 @@ def mgcg_solve(
     fine = systems[-1]
     diag_fine = diag_of(fine)
     dinvs = [1.0 / diag_of(s) for s in systems]
-    coarse_cf = jax.scipy.linalg.cho_factor(dense_assemble(systems[0], nf))
+    if use_nd_coarse:
+        # exact multifrontal factor of the coarse operator: the element
+        # Hessians reduce to the deduplicated pair-value layout by ONE
+        # segment_sum (HostPattern full_ids == the ND vals layout), then
+        # the same on-device factorization the fine ND path runs
+        # coarse_nd is STATIC (closed over): .fz the NDFactorizer, .nseg
+        # the segment count; the (large) index maps ride in
+        # coarse_nd_args as traced jit arguments (HTTP-413 rule)
+        coarse_cf = None
+        vals0 = jax.ops.segment_sum(
+            systems[0].He.reshape(-1),
+            coarse_nd_args["full_ids"].reshape(-1),
+            num_segments=coarse_nd.nseg,
+        )
+        coarse_fac = coarse_nd.fz.factor(vals0, coarse_nd_args["consts"])
+    else:
+        coarse_cf = jax.scipy.linalg.cho_factor(
+            dense_assemble(systems[0], nf)
+        )
+        coarse_fac = None
 
     sh = jnp.asarray(shift, dtype=bp.dtype)
 
@@ -667,20 +702,39 @@ def mgcg_solve(
         )
     lmaxs32 = [l.astype(f32c) for l in lmaxs]
 
+    def _coarse_direct(r_pad):
+        """Exact solve of the UNSCALED coarse operator; r_pad/(return)
+        are (nf, m0+1) field-major padded at factor precision."""
+        if use_nd_coarse:
+            # ND solve works in node-major flat dofs (dof = node*nf+f)
+            b_nd = r_pad[:, :m0].T.reshape(-1)
+            x_nd = coarse_nd.fz.solve(
+                coarse_fac, b_nd, coarse_nd_args["consts"]
+            )
+            x = jnp.concatenate(
+                [
+                    x_nd.reshape(m0, nf).T,
+                    jnp.zeros((nf, 1), x_nd.dtype),
+                ],
+                axis=1,
+            )
+            return x
+        x = jax.scipy.linalg.cho_solve(
+            coarse_cf, r_pad.reshape(-1).astype(coarse_cf[0].dtype)
+        )
+        return x.reshape(nf, m0 + 1)
+
     def coarse_solve(bp0_hat):
         # Hhat_0^{-1} = S_0^{-1} H_0^{-1} S_0^{-1}; the factor is the
-        # UNSCALED f64 Cholesky, so the exact coarse solve is untouched by
-        # the scaling (solve at factor precision, return at cycle precision)
+        # UNSCALED f64 factorization (dense Cholesky or ND multifrontal),
+        # so the exact coarse solve is untouched by the scaling (solve at
+        # factor precision, return at cycle precision)
         if use_scaled:
-            r = (bp0_hat.astype(s0_inv.dtype) * s0_inv).reshape(-1)
-            x = jax.scipy.linalg.cho_solve(
-                coarse_cf, r.astype(coarse_cf[0].dtype)
-            ).astype(s0_inv.dtype)
-            x = (x.reshape(nf, m0 + 1) * s0_inv).astype(f32c)
+            r = (bp0_hat.astype(s0_inv.dtype) * s0_inv)
+            x = _coarse_direct(r.astype(bp.dtype)).astype(s0_inv.dtype)
+            x = (x * s0_inv).astype(f32c)
         else:
-            x = jax.scipy.linalg.cho_solve(
-                coarse_cf, bp0_hat.reshape(-1).astype(coarse_cf[0].dtype)
-            ).astype(f32c).reshape(nf, m0 + 1)
+            x = _coarse_direct(bp0_hat.astype(bp.dtype)).astype(f32c)
         return x.at[:, m0].set(0.0)
 
     def precond(r):

@@ -573,7 +573,32 @@ def _round_bits(x, q: int):
     return t - (t - x)
 
 
-def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native):
+def _df_chol(Ajj, n: int):
+    """Base-block Cholesky in pair-f32 (double-float) arithmetic.
+
+    The v5e has no f64 hardware and XLA's f64 CholeskyExpander is the
+    single most emulation-punished op in the multifrontal factor
+    (measured tools/probe_df32_cost.py: (2048,32,32) batched chol f64
+    330.8ms vs pair-f32 1.7ms — 192x).  Pair-f32 carries ~2^-44..48
+    accuracy, which certifies barrier Newton directions through t~1e5
+    unshifted (tools/probe_qbits_direction.py) — the caller gates
+    acceptance exactly like f32pc, so path honesty is structural."""
+    from ..experimental import dfmm
+
+    return dfmm.to_f64(dfmm.chol_looped(dfmm.from_f64(Ajj), n))
+
+
+def _df_tri_inv(Ljj, n: int):
+    """Base-block lower-triangular inverse in pair-f32 (see _df_chol;
+    measured 100x vs the f64-emulated substitution at (2048,32,32))."""
+    from ..experimental import dfmm
+
+    return dfmm.to_f64(
+        dfmm.tri_lower_inv_looped(dfmm.from_f64(Ljj), n)
+    )
+
+
+def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native, base_impl="xla"):
     """Explicit inverse of batched lower-triangular (n_d, s, s) matrices
     by block doubling: invert base-size diagonal blocks once (one small
     batched substitution), then combine upward with batched matmuls —
@@ -606,9 +631,12 @@ def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native):
     Db = Lp.reshape(n_d, nb, base, nb, base)[:, idx, :, idx, :]
     # advanced indexing puts the paired axis first: (nb, n_d, base, base)
     Db = jnp.swapaxes(Db, 0, 1).reshape(n_d * nb, base, base)
-    blocks = jax.scipy.linalg.solve_triangular(
-        Db, eye_b[None] * jnp.ones((n_d * nb, 1, 1), dtype), lower=True
-    ).reshape(n_d, nb, base, base)
+    if base_impl == "df":
+        blocks = _df_tri_inv(Db, base).reshape(n_d, nb, base, base)
+    else:
+        blocks = jax.scipy.linalg.solve_triangular(
+            Db, eye_b[None] * jnp.ones((n_d * nb, 1, 1), dtype), lower=True
+        ).reshape(n_d, nb, base, base)
     # block doubling, scatter-free: the inverse is carried as the batch
     # of diagonal blocks (n_d, nb, b, b) and each level assembles the
     # doubled blocks [[Ai,0],[X,Bi]] with concatenations.
@@ -628,7 +656,7 @@ def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native):
     return blocks[:, 0, :s, :s]
 
 
-def _chol_blocked(Af, base: int = 32, mm=_mm_native):
+def _chol_blocked(Af, base: int = 32, mm=_mm_native, base_impl="xla"):
     """Batched Cholesky of (n_d, s, s) SPD matrices by right-looking
     panel factorization: per panel one small batched Cholesky + one
     small batched substitution + two batched matmuls (MXU-dominant,
@@ -652,12 +680,19 @@ def _chol_blocked(Af, base: int = 32, mm=_mm_native):
     cols = []
     for j in range(nb):
         Ajj = X[:, :base, :base]
-        Ljj = jnp.linalg.cholesky(Ajj)
+        if base_impl == "df":
+            Ljj = _df_chol(Ajj, base)
+        else:
+            Ljj = jnp.linalg.cholesky(Ajj)
         parts = [jnp.zeros((n_d, j * base, base), dtype), Ljj]
         if nb - j > 1:
-            Linv = jax.scipy.linalg.solve_triangular(
-                Ljj, eye_b[None] * jnp.ones((n_d, 1, 1), dtype), lower=True
-            )
+            if base_impl == "df":
+                Linv = _df_tri_inv(Ljj, base)
+            else:
+                Linv = jax.scipy.linalg.solve_triangular(
+                    Ljj, eye_b[None] * jnp.ones((n_d, 1, 1), dtype),
+                    lower=True,
+                )
             R = X[:, base:, :base]
             Lj = mm(R, jnp.swapaxes(Linv, -1, -2))
             parts.append(Lj)
@@ -720,6 +755,11 @@ class NDFactorizer:
             "MGB_ND_CHOL",
             "xla" if jax.default_backend() == "cpu" else "blocked",
         )
+        # Base-block kernel engine for f64 factors: 'xla' = native
+        # (emulated on TPU), 'df' = pair-f32 double-float (~2^-44..48;
+        # see _df_chol).  Only meaningful with blocked kernels; f32
+        # factors always keep xla (f32 base ops are already native).
+        self.base_impl = os.environ.get("MGB_ND_BASE", "xla")
         # assembly scatter shape: 0 = one concat+segment_sum per group,
         # 1 = split the extend-add into its own scatter-add (lets XLA
         # fuse the Schur gather into the scatter instead of
@@ -1024,6 +1064,7 @@ class NDFactorizer:
             mm = _mm_for(F)
             # factor-precision simulator: truncate this group's stage
             # outputs (and every mm product) to qbits mantissa bits
+            bi = self.base_impl if dtype == jnp.float64 else "xla"
             qb = self.qbits
             if qb is not None and dtype == jnp.float64:
                 qv = int(qb[d]) if isinstance(qb, (list, tuple)) else int(qb)
@@ -1125,7 +1166,11 @@ class NDFactorizer:
                 if upto in ("ea", "chol"):
                     if upto == "chol":
                         if self.chol == "blocked" and s > self.panel:
-                            Lt = _chol_blocked(fronts[:, :s, :s], base=self.panel, mm=mm)
+                            Lt = _chol_blocked(fronts[:, :s, :s],
+                                               base=self.panel, mm=mm,
+                                               base_impl=bi)
+                        elif bi == "df":
+                            Lt = _df_chol(fronts[:, :s, :s], s)
                         else:
                             Lt = jnp.linalg.cholesky(fronts[:, :s, :s])
                         out.append((Lt[:, :1, :1], Lt[:, :1, :1]))
@@ -1180,13 +1225,19 @@ class NDFactorizer:
             sharded = self._shards(n_d)
             pin = self._pin_sharded if sharded else (lambda a: a)
             if self.chol == "blocked" and s > self.panel:
-                Ls = _chol_blocked(fronts[:, :s, :s], base=self.panel, mm=mm)
+                Ls = _chol_blocked(fronts[:, :s, :s], base=self.panel,
+                                   mm=mm, base_impl=bi)
+            elif bi == "df":
+                Ls = _df_chol(fronts[:, :s, :s], s)
             else:
                 Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
             Ls = pin(qf(Ls))
             if self.use_inv:
                 if self.tri_inv == "blocked" and s > self.panel:
-                    Lk = _tri_inv_blocked(Ls, base=self.panel, mm=mm)
+                    Lk = _tri_inv_blocked(Ls, base=self.panel, mm=mm,
+                                          base_impl=bi)
+                elif bi == "df":
+                    Lk = _df_tri_inv(Ls, s)
                 else:
                     ar = jnp.arange(s)
                     eye = (ar[:, None] == ar[None, :]).astype(dtype)

@@ -102,6 +102,35 @@ def test_chol_unrolled_negative_pivot_nans():
     assert not np.all(np.isfinite(L))
 
 
+def test_looped_kernels_match_unrolled():
+    """fori_loop forms (O(1) program size — the shapes the ND factor
+    embeds) must match the unrolled forms to df accuracy."""
+    rng = np.random.default_rng(9)
+    n_d, n = 4, 32
+    B = rng.standard_normal((n_d, n, n))
+    A = B @ np.swapaxes(B, -1, -2) + n * np.eye(n)[None]
+    dA = dfmm.from_f64(jnp.asarray(A))
+    L_ref = np.linalg.cholesky(A)
+    Ll = np.asarray(dfmm.to_f64(dfmm.chol_looped(dA, n)))
+    rel = np.max(
+        np.linalg.norm(Ll - L_ref, axis=(1, 2))
+        / np.linalg.norm(L_ref, axis=(1, 2))
+    )
+    assert rel < EPS_DF * n, rel
+    dL = dfmm.from_f64(jnp.asarray(L_ref))
+    Xl = np.asarray(dfmm.to_f64(dfmm.tri_lower_inv_looped(dL, n)))
+    err = np.max(np.linalg.norm(Xl @ L_ref - np.eye(n)[None], axis=(1, 2)))
+    assert err < EPS_DF * n * 4, err
+
+
+def test_looped_chol_negative_pivot_nans():
+    A = -np.eye(8)[None]
+    L = np.asarray(
+        dfmm.to_f64(dfmm.chol_looped(dfmm.from_f64(jnp.asarray(A)), 8))
+    )
+    assert not np.all(np.isfinite(L))
+
+
 def test_tri_inv_unrolled_matches_f64():
     rng = np.random.default_rng(6)
     for n_d, n in [(4, 8), (2, 32)]:

@@ -249,3 +249,71 @@ def test_mgcg_truncated_two_grid_matches_dense(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(x2), np.asarray(xd), rtol=0, atol=1e-8
     )
+
+
+def test_mgcg_nd_factored_coarse_matches_dense(monkeypatch):
+    """Above the dense coarse cap the truncated two-grid cycle factors
+    the coarse level with the ND multifrontal instead of a dense
+    Cholesky (round-4 verdict item 6: MUMPS has no size cap,
+    /root/reference/src/MultiGridBarrierMPI.jl:87).  Forcing the cap to
+    1 routes the same 3-level problem through the ND coarse; the solve
+    must match the dense direct solution like the dense-coarse cycle
+    does."""
+    from types import SimpleNamespace
+
+    from multigridbarrier_tpu.solver.hostsolve import HostPattern
+    from multigridbarrier_tpu.solver.ndsolve import (
+        NDFactorizer,
+        NDSymbolic,
+        node_coords,
+    )
+
+    nlev = 3
+    g = mgb.fem2d(L=nlev)
+    lb = g.bases["dirichlet"]
+    nf = 1
+    rng = np.random.default_rng(13)
+    systems = []
+    for lvl in range(nlev):
+        basis = lb[lvl]
+        nelem, nq, nl = basis.rloc.shape
+        w_e = jnp.asarray(np.asarray(g.w).reshape(nelem, nq))
+        He = jnp.einsum("eqa,eq,eqb->eab", basis.rloc, w_e, basis.rloc)
+        scale = jnp.asarray(10.0 ** rng.uniform(0, 6, size=(nelem, 1, 1)))
+        systems.append(LevelSystem(He * scale, basis.idx, basis.m,
+                                   pair_idx=basis.pair_idx))
+    m = lb[nlev - 1].m
+    bp = jnp.zeros((nf, m + 1), dtype=jnp.float64)
+    bp = bp.at[:, :m].set(jnp.asarray(rng.standard_normal((nf, m))))
+
+    basis_c = lb[nlev - 2]
+    pattern = HostPattern(np.asarray(basis_c.idx), basis_c.m, nf)
+    sym = NDSymbolic(
+        np.asarray(basis_c.idx), basis_c.m, nf,
+        node_coords(basis_c.idx, basis_c.m, np.asarray(g.x), basis_c.nq),
+        leaf=4,
+    )
+    fz = NDFactorizer(sym, dtype=jnp.float64)
+    static = SimpleNamespace(fz=fz, nseg=pattern.nseg)
+    args = dict(
+        consts=fz.consts(),
+        full_ids=jnp.asarray(pattern.full_ids),
+    )
+    monkeypatch.setenv("MGB_MGCG_LEVELS", "auto")
+    monkeypatch.setenv("MGB_MGCG_COARSE_CAP", "1")
+    x, its, rel, lmaxs = mgcg_solve(
+        systems, g.embed["dirichlet"][: nlev - 1], bp, nf, rtol=1e-12,
+        maxiter=400, coarse_nd=static, coarse_nd_args=args,
+    )
+    assert float(rel) < 1e-10
+    xd = dense_solve(systems[-1], nf, bp)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(xd), rtol=0, atol=1e-8
+    )
+    # without coarse_nd the same cap falls back to the full hierarchy
+    # (no truncation) and still solves, just through the smoothed cycle
+    x0, _, rel0, _ = mgcg_solve(
+        systems, g.embed["dirichlet"][: nlev - 1], bp, nf, rtol=1e-12,
+        maxiter=400,
+    )
+    assert float(rel0) < 1e-10

@@ -164,6 +164,53 @@ def test_ozaki_minf_mixed_factor_matches_native():
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-12
 
 
+def test_df_base_kernels_factor_solve():
+    """MGB_ND_BASE=df routes the f64 factor's base-block Cholesky and
+    triangular inverse through pair-f32 double-float kernels (~2^-44).
+    On the well-conditioned grid problem the solve must land ~1e-10 of
+    the dense reference — far beyond f32's 2^-24 — and an f32 factor
+    must be unaffected (df applies to f64 only)."""
+    import os
+
+    idx, coords, vals, Ad = _grid_problem(10, 2, True)
+    sym = NDSymbolic(idx, coords.shape[0], 2, coords, leaf=8)
+    prev = os.environ.get("MGB_ND_BASE")
+    try:
+        os.environ["MGB_ND_BASE"] = "df"
+        fz = NDFactorizer(sym, use_inv=True)
+        fz.chol = "blocked"
+        fz.tri_inv = "blocked"
+        fz.panel = 16
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_ND_BASE", None)
+        else:
+            os.environ["MGB_ND_BASE"] = prev
+    cst = fz.consts()
+    fac = fz.factor(jnp.asarray(vals), cst)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(Ad.shape[0])
+    x = np.asarray(fz.solve(fac, jnp.asarray(b), cst))
+    x_ref = np.linalg.solve(Ad, b)
+    rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-9, rel
+    # the df path must actually have run: its factor differs from the
+    # xla-base factor in the low bits (identical bits would mean the
+    # knob was ignored)
+    fz.base_impl = "xla"
+    fac_x = fz.factor(jnp.asarray(vals), cst)
+    dmax = max(
+        float(jnp.max(jnp.abs(a[0] - b_[0])))
+        for a, b_ in zip(fac, fac_x)
+    )
+    assert dmax > 0.0
+    # f32 factors must ignore the knob (base ops already native there)
+    fz.base_impl = "df"
+    fac32 = fz.factor(jnp.asarray(vals), cst, dtype=jnp.float32)
+    for Ls, Lsb in fac32:
+        assert Ls.dtype == jnp.float32
+
+
 def test_real_newton_matrix_parity():
     """ndsolve and scipy agree on a real fem2d Newton matrix assembled
     from the SAME device vals array (HostPattern layout)."""

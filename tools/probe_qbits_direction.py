@@ -184,9 +184,23 @@ for t_mid in ts:
           f"(raw direct relres {rel64:.3e})")
 
     half = ng // 2
-    run("q48", 48)
-    run("q44", 44)
-    run("q40", 40)
-    run("q24+s3e-6", 24, 3e-6)
-    run("leaf24+s", [53] * half + [24] * (ng - half), 3e-6)
-    run("root24+s", [24] * half + [53] * (ng - half), 3e-6)
+    if os.environ.get("MGB_PROBE_SHIFTED", "0") == "1":
+        # round-5 follow-up: the unshifted q48 factor NaNs past t~1e6
+        # while the f32pc-style 3e-6 shift caps the preconditioner at
+        # ~3e-5 — probe the df-scale shifts in between (the shift only
+        # perturbs the PRECONDITIONER; certification is still against
+        # the exact Hessian)
+        run("q48", 48)
+        run("q48+s1e-13", 48, 1e-13)
+        run("q48+s1e-12", 48, 1e-12)
+        run("q48+s1e-11", 48, 1e-11)
+        run("q48+s1e-10", 48, 1e-10)
+        run("q44+s1e-11", 44, 1e-11)
+        run("q24+s3e-6", 24, 3e-6)
+    else:
+        run("q48", 48)
+        run("q44", 44)
+        run("q40", 40)
+        run("q24+s3e-6", 24, 3e-6)
+        run("leaf24+s", [53] * half + [24] * (ng - half), 3e-6)
+        run("root24+s", [24] * half + [53] * (ng - half), 3e-6)
