@@ -38,7 +38,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_SPLIT_C = jnp.float32(4097.0)  # 2^12 + 1: Veltkamp split of 24-bit f32
+_SPLIT_C = 4097.0  # 2^12 + 1: Veltkamp split of 24-bit f32 (python
+# float: weak-typed, stays f32 in f32 expressions and never becomes a
+# hoisted trace constant)
 
 
 def two_sum(a, b):
@@ -227,8 +229,13 @@ def chol_looped(a, n: int):
     all-groups ozaki lesson, CLAUDE.md round-4).  Dynamic column index
     j via masked full-width ops; static shapes throughout."""
     ah, al = a
-    shape = ah.shape
-    ar = jnp.arange(n)
+    # iota as a traced op, NOT jnp.arange: a concrete constant referenced
+    # inside the fori body becomes a hoisted const_arg of the enclosing
+    # jit, and the runtime's fastpath drops hoisted consts on re-execution
+    # ("supplied N buffers but compiled program expected N+k") — measured
+    # on the fused-gate runner the first time these kernels went inside
+    # lax.cond
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     lh0 = jnp.zeros_like(ah)
 
     def body(j, st):
@@ -270,20 +277,16 @@ def tri_lower_inv_looped(l, n: int):
     over k < j is a masked full-width pairwise tree sum (static shapes;
     the mask supplies the k < j restriction)."""
     lh, ll = l
-    ar = jnp.arange(n)
-    eye = jnp.eye(n, dtype=jnp.float32)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)  # see chol_looped
     n2 = 1 << max(1, (n - 1)).bit_length()
 
     def tree_sum(th, tl):
         # pad the contraction axis (-2) to a power of two, then halve
         pad = n2 - th.shape[-2]
         if pad:
-            th = jnp.concatenate(
-                [th, jnp.zeros(th.shape[:-2] + (pad,) + th.shape[-1:],
-                               th.dtype)], axis=-2)
-            tl = jnp.concatenate(
-                [tl, jnp.zeros(tl.shape[:-2] + (pad,) + tl.shape[-1:],
-                               tl.dtype)], axis=-2)
+            widths = [(0, 0)] * (th.ndim - 2) + [(0, pad), (0, 0)]
+            th = jnp.pad(th, widths)
+            tl = jnp.pad(tl, widths)
         k = n2
         while k > 1:
             half = k // 2
@@ -307,9 +310,7 @@ def tri_lower_inv_looped(l, n: int):
             (xh, xl),
         )
         sh, sl = tree_sum(terms[0], terms[1])
-        erow = jnp.broadcast_to(eye[0] * 0.0, sh.shape) + jnp.einsum(
-            "ij,i->j", eye, rowmask
-        )
+        erow = jnp.broadcast_to((ar == j).astype(jnp.float32), sh.shape)
         acc = sub((erow, jnp.zeros_like(erow)), (sh, sl))
         djj = (
             jnp.einsum("...j,j->...", lrow[0], rowmask)[..., None],

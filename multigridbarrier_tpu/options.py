@@ -256,6 +256,33 @@ KNOBS = {
     "MGB_F32_EARLY": Knob("kernel", None,
         "f32 path-following for t <= MGB_T_SWITCH with f64 endgame"),
     "MGB_T_SWITCH": Knob("kernel", None, "f32->f64 switch barrier value"),
+    # -- pair-f32 (double-float) factor kernels ---------------------------
+    "MGB_ND_BASE": Knob("kernel", "xla",
+        "f64 ND-factor base-block engine: xla (emulated f64 chol/"
+        "substitution) or df (pair-f32 double-float, ~2^-44; v5e probe: "
+        "192x on the leaf-group batched chol).  Production f64 factors "
+        "keep xla; df is the cheap-direction engine's factor"),
+    "MGB_ND_CHEAP": Knob("kernel", None,
+        "cheap-direction engine in the fused gate: f32 (shifted-f32 "
+        "factor + certified PCG) or df (pair-f32-base f64 factor, "
+        "certifies with ~0 sweeps through t~1e5 per the qbits probe). "
+        "Default: df on accelerators, f32 on CPU"),
+    "MGB_ND_DF_SHIFT": Knob("kernel", "0",
+        "diagonal shift for the df cheap engine's equilibrated factor. "
+        "0 (default): certifies with ~0 sweeps wherever finite "
+        "(t <= ~1e5) and NaNs instantly beyond — the cheapest failure. "
+        "1e-13 stays finite to t~1e7 but needs 12-17 f64 PCG sweeps "
+        "there (~1.5s, more than the f64 factor it replaces) — "
+        "measured-rejected as a default, kept as the deep-coverage dial"),
+    "MGB_ND_SHARD_WIDE": Knob("kernel", "1",
+        "within-front row sharding of replicated top-tree groups on a "
+        "mesh (the 2-D root-front distribution role of MUMPS): L=6 "
+        "8-dev per-device factor flops 1.83x -> 3.96x vs replicated, "
+        "solve parity 3e-17 (SCALING.md §3)"),
+    "MGB_ND_WIDE_MIN": Knob("kernel", "128",
+        "minimum front width (dofs incl. boundary) for within-front "
+        "sharding; smaller fronts pay more in resharding than they "
+        "distribute"),
     # -- misc kernels ------------------------------------------------------
     "MGB_PALLAS": Knob("kernel", "0", "enable Pallas kernels (f32 demo)"),
     "MGB_LANE_AOP": Knob("kernel", None, "lane layout for A-op tables"),

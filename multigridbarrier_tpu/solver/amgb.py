@@ -116,6 +116,35 @@ _DEFAULT_Q_CACHE: dict = {}
 _CO_BARRIER_CACHE: dict = {}
 
 
+def _nd_cheap_engine() -> str:
+    """Cheap-direction engine for the fused gate (MGB_ND_CHEAP):
+    'f32' (shifted-f32 factor) or 'df' (pair-f32-base f64 factor).
+    Default df on accelerators (the v5e's emulated-f64 base-block ops
+    are the factor's cost — probe_df_factor: 608ms -> 186ms at L=7 —
+    and q48-quality factors certify with ~0 PCG sweeps through t~1e5);
+    f32 on CPU (native f64 there, pair arithmetic is pure overhead)."""
+    env = os.environ.get("MGB_ND_CHEAP")
+    if env:
+        return env
+    return "df" if jax.default_backend() != "cpu" else "f32"
+
+
+def _nd_cheap_delta() -> float:
+    """Host-side default diagonal shift for the cheap engine's
+    equilibrated factor: the f32 engine needs ~3e-6 (sub-eps32 leaf
+    pivots), the df engine ~1e-12 (extends certification past the
+    unshifted NaN boundary at t~1e6 with no measurable mid-path
+    cost)."""
+    if _nd_cheap_engine() == "df":
+        # 0: the unshifted df factor certifies with ~0 sweeps wherever
+        # it is finite (t <= ~1e5) and NaNs INSTANTLY beyond — the
+        # cheapest possible failure (probed: a 1e-13 shift stays finite
+        # to t~1e7 but needs 12-17 f64 PCG sweeps there, ~1.5s — more
+        # than the f64 factor it would replace)
+        return float(os.environ.get("MGB_ND_DF_SHIFT", "0"))
+    return float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
+
+
 def _f32pc_on() -> bool:
     """MGB_ND_F32PC default: ON for accelerator backends, OFF on CPU.
 
@@ -1244,6 +1273,17 @@ class _SolverCtx:
             k32_on = os.environ.get("MGB_ND_KRYLOV32", "0") == "1"
             k32_tol = float(os.environ.get("MGB_ND_KRYLOV32_TOL", "1e-4"))
 
+            # Cheap-direction factor engine (MGB_ND_CHEAP): 'f32' =
+            # shifted-f32 factor (MXU-native rate; needs 15-30 PCG
+            # sweeps to certify and dies at t ~ 1e3-1e4), 'df' =
+            # pair-f32-base f64 factor (experimental/dfmm.py: the v5e's
+            # emulated-f64 base-block chol/substitution replaced by
+            # native-f32 double-float kernels, ~2^-44 accuracy) which
+            # certifies with ~0 sweeps through t ~ 1e5-1e6
+            # (tools/probe_qbits_direction.py) — covering most of the
+            # endgame that previously paid the full f64 factor.
+            cheap_engine = _nd_cheap_engine()
+
             def nd_dir_f32(vals, gv, cst, cap, delta):
                 """Newton direction from a FRESH shifted f32 factor:
                 symmetric-Jacobi equilibration (unit diagonal), a small
@@ -1280,7 +1320,10 @@ class _SolverCtx:
                 vals_f = vals_f.at[cst["diag_ids"]].add(
                     jnp.asarray(delta, vals_f.dtype)
                 )
-                fac = fz.factor(vals_f, ndc, dtype=jnp.float32)
+                if cheap_engine == "df":
+                    fac = fz.factor(vals_f, ndc, base_impl="df")
+                else:
+                    fac = fz.factor(vals_f, ndc, dtype=jnp.float32)
 
                 def apply_fac(r):
                     return s * fz.solve(fac, s * r, ndc).astype(r.dtype)
@@ -1288,7 +1331,7 @@ class _SolverCtx:
                 bb = jnp.vdot(b, b)
                 tol2 = (rtol_r ** 2) * bb
                 it32 = jnp.int32(0)
-                if k32_on:
+                if k32_on and cheap_engine == "f32":
                     # -- stage 1: f32 PCG in the equilibrated frame ----
                     # Operator = the shifted equilibrated blocks
                     # themselves (delta ~ 3e-6 is invisible at the 1e-4
@@ -1981,8 +2024,9 @@ class _SolverCtx:
         cd0 = int(os.environ.get("MGB_ND_F32PC_COOLDOWN", "8"))
         cd_max = 64
         cooldown, cooldown_left = cd0, 0
-        delta_pc = jnp.float32(
-            float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
+        delta_pc = jnp.asarray(
+            _nd_cheap_delta(),
+            jnp.float64 if _nd_cheap_engine() == "df" else jnp.float32,
         )
         cyf, fy0f = jax.device_get((cy, fy0))
         while True:
@@ -2117,7 +2161,10 @@ class _SolverCtx:
         dtype = z.dtype
         t_arr = jnp.asarray(t, dtype=dtype)
         eps = float(np.finfo(np.asarray(z).dtype).eps)
-        cap_max = int(os.environ.get("MGB_ND_REUSE_CAP", "60"))
+        cheap_df = _nd_cheap_engine() == "df"
+        cap_max = int(
+            os.environ.get("MGB_ND_REUSE_CAP", "12" if cheap_df else "60")
+        )
         rtol = self.cg_rtol * 1.0001
         # stale-factor endgame engine: measured-REJECTED, default OFF —
         # see the MGB_ND_STALE_GATE registry entry (options.py) for the
@@ -2155,13 +2202,16 @@ class _SolverCtx:
         # a full ND solve + matvec of device time, and a failed attempt
         # repeats on the cooldown schedule), floored where a genuine
         # certification could still land.
-        cap_now = min(cap_max, 40)
+        # df certifications land in 0-4 sweeps; a tighter cap bounds a
+        # doomed attempt at ~cap * (matvec+apply) of device time
+        cap_now = min(cap_max, 8 if cheap_df else 40)
         fail_streak = 0
         cd0 = int(os.environ.get("MGB_ND_F32PC_COOLDOWN", "8"))
         cd_max = 64
         cooldown, cooldown_left = cd0, 0
-        delta_pc = jnp.float32(
-            float(os.environ.get("MGB_ND_F32_SHIFT", "3e-6"))
+        delta_pc = jnp.asarray(
+            _nd_cheap_delta(),
+            jnp.float64 if _nd_cheap_engine() == "df" else jnp.float32,
         )
         # stale-engine state (entered when the f32 engine retires)
         engine = "f32"

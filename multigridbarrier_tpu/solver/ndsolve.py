@@ -598,7 +598,8 @@ def _df_tri_inv(Ljj, n: int):
     )
 
 
-def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native, base_impl="xla"):
+def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native, base_impl="xla",
+                     pin_rows=None):
     """Explicit inverse of batched lower-triangular (n_d, s, s) matrices
     by block doubling: invert base-size diagonal blocks once (one small
     batched substitution), then combine upward with batched matmuls —
@@ -648,7 +649,15 @@ def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native, base_impl="xla"):
         C = jnp.swapaxes(Lv[:, i2, 1, :, i2, 0, :], 0, 1)  # (n_d,nb2,b,b)
         Ai = blocks[:, 0::2]
         Bi = blocks[:, 1::2]
-        X = -mm(Bi, mm(C, Ai))
+        if pin_rows is not None:
+            # within-front sharding (see NDFactorizer._wide_pin): the
+            # doubling matmuls carry the cubic work of the top-tree
+            # fronts — shard each block's row axis over the mesh
+            C = pin_rows(C, 2)
+            Bi = pin_rows(Bi, 2)
+            X = -pin_rows(mm(Bi, pin_rows(mm(C, Ai), 2)), 2)
+        else:
+            X = -mm(Bi, mm(C, Ai))
         top = jnp.concatenate([Ai, jnp.zeros_like(X)], axis=-1)
         bot = jnp.concatenate([X, Bi], axis=-1)
         blocks = jnp.concatenate([top, bot], axis=-2)
@@ -656,7 +665,8 @@ def _tri_inv_blocked(Ls, base: int = 32, mm=_mm_native, base_impl="xla"):
     return blocks[:, 0, :s, :s]
 
 
-def _chol_blocked(Af, base: int = 32, mm=_mm_native, base_impl="xla"):
+def _chol_blocked(Af, base: int = 32, mm=_mm_native, base_impl="xla",
+                  pin_rows=None):
     """Batched Cholesky of (n_d, s, s) SPD matrices by right-looking
     panel factorization: per panel one small batched Cholesky + one
     small batched substitution + two batched matmuls (MXU-dominant,
@@ -694,9 +704,21 @@ def _chol_blocked(Af, base: int = 32, mm=_mm_native, base_impl="xla"):
                     lower=True,
                 )
             R = X[:, base:, :base]
-            Lj = mm(R, jnp.swapaxes(Linv, -1, -2))
+            if pin_rows is not None:
+                # within-front sharding: the panel update and trailing
+                # Schur matmuls hold the O(F^3) work of a root front —
+                # shard their row axis over the mesh (base blocks and
+                # Linv stay replicated; GSPMD gathers the thin panel)
+                R = pin_rows(R, 1)
+                Lj = pin_rows(mm(R, jnp.swapaxes(Linv, -1, -2)), 1)
+                X = pin_rows(
+                    X[:, base:, base:] - mm(Lj, jnp.swapaxes(Lj, -1, -2)),
+                    1,
+                )
+            else:
+                Lj = mm(R, jnp.swapaxes(Linv, -1, -2))
+                X = X[:, base:, base:] - mm(Lj, jnp.swapaxes(Lj, -1, -2))
             parts.append(Lj)
-            X = X[:, base:, base:] - mm(Lj, jnp.swapaxes(Lj, -1, -2))
         cols.append(jnp.concatenate(parts, axis=1))
     L = jnp.concatenate(cols, axis=2)
     return L[:, :s, :s]
@@ -811,6 +833,16 @@ class NDFactorizer:
         # ops against the ~1ms-per-kernel device floor.  Wider panels
         # trade near-free matmul flops for fewer sequential stages.
         self.panel = int(os.environ.get("MGB_ND_PANEL", "32"))
+        # Within-front sharding (the Amdahl fix for the elimination
+        # tree's top: SCALING.md §3 — batch-axis sharding saturates at
+        # ~2.2-2.4x because the top log2(N) depths hold the cubically-
+        # dominant fronts on one device).  For replicated-batch groups
+        # whose front is at least MGB_ND_WIDE_MIN rows, the blocked
+        # Cholesky/inverse panel matmuls and the Schur update are
+        # row-sharded over the mesh (the 2-D distribution role of
+        # MUMPS' block-cyclic root front).
+        self.shard_wide = os.environ.get("MGB_ND_SHARD_WIDE", "1") == "1"
+        self.wide_min = int(os.environ.get("MGB_ND_WIDE_MIN", "128"))
         # Factor-precision simulator (see _round_bits): None = off; an
         # int truncates every stage output of an f64 factorization to
         # that many mantissa bits; a list gives per-GROUP bit widths
@@ -970,6 +1002,23 @@ class NDFactorizer:
             arr, jax.sharding.NamedSharding(self.mesh, spec)
         )
 
+    def _wide_pin(self, arr, axis):
+        """Constrain `arr`'s row axis onto the mesh for within-front
+        sharding (see __init__).  No-op below the row threshold — tiny
+        extents cost more in resharding than they distribute."""
+        if arr.shape[axis] < max(2 * self.mesh.size, 64):
+            return arr
+        from ..backend import DOF_AXIS
+
+        spec = [None] * arr.ndim
+        spec[axis] = DOF_AXIS
+        return jax.lax.with_sharding_constraint(
+            arr,
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(*spec)
+            ),
+        )
+
     def _replicate(self, arr):
         """Constrain to fully replicated — applied to each group's Schur
         complement before the parent group reads it.  This is the
@@ -1004,12 +1053,14 @@ class NDFactorizer:
 
         return contextlib.nullcontext()
 
-    def factor(self, vals: jnp.ndarray, consts, dtype=None, upto=None):
+    def factor(self, vals: jnp.ndarray, consts, dtype=None, upto=None,
+               base_impl=None):
         dtype_r = self.dtype if dtype is None else dtype
         with self._prec_ctx(dtype_r):
-            return self._factor_impl(vals, consts, dtype_r, upto)
+            return self._factor_impl(vals, consts, dtype_r, upto, base_impl)
 
-    def _factor_impl(self, vals: jnp.ndarray, consts, dtype, upto=None):
+    def _factor_impl(self, vals: jnp.ndarray, consts, dtype, upto=None,
+                     base_impl=None):
         """vals: deduplicated segment array (HostPattern layout:
         (f1*nf+f2)*nuniq + pid).  Returns deepest-first [(Ls, Lsb)].
 
@@ -1064,7 +1115,11 @@ class NDFactorizer:
             mm = _mm_for(F)
             # factor-precision simulator: truncate this group's stage
             # outputs (and every mm product) to qbits mantissa bits
-            bi = self.base_impl if dtype == jnp.float64 else "xla"
+            bi = (
+                (base_impl or self.base_impl)
+                if dtype == jnp.float64
+                else "xla"
+            )
             qb = self.qbits
             if qb is not None and dtype == jnp.float64:
                 qv = int(qb[d]) if isinstance(qb, (list, tuple)) else int(qb)
@@ -1224,18 +1279,32 @@ class NDFactorizer:
             n_b = fronts.shape[0]
             sharded = self._shards(n_d)
             pin = self._pin_sharded if sharded else (lambda a: a)
-            if self.chol == "blocked" and s > self.panel:
+            # within-front sharding for the replicated top-tree groups
+            # (SCALING.md §3): row-shard the O(F^3) panel matmuls
+            wide = (
+                self.mesh is not None
+                and self.shard_wide
+                and not sharded
+                and F >= self.wide_min
+            )
+            pinr = self._wide_pin if wide else None
+            # wide groups always take the blocked kernels: XLA's fused
+            # cholesky/substitution expanders cannot row-shard, the
+            # panel matmuls can
+            if (self.chol == "blocked" or wide) and s > self.panel:
                 Ls = _chol_blocked(fronts[:, :s, :s], base=self.panel,
-                                   mm=mm, base_impl=bi)
+                                   mm=mm, base_impl=bi, pin_rows=pinr)
             elif bi == "df":
                 Ls = _df_chol(fronts[:, :s, :s], s)
             else:
                 Ls = jnp.linalg.cholesky(fronts[:, :s, :s])
+            if wide:
+                Ls = self._replicate(Ls)
             Ls = pin(qf(Ls))
             if self.use_inv:
-                if self.tri_inv == "blocked" and s > self.panel:
+                if (self.tri_inv == "blocked" or wide) and s > self.panel:
                     Lk = _tri_inv_blocked(Ls, base=self.panel, mm=mm,
-                                          base_impl=bi)
+                                          base_impl=bi, pin_rows=pinr)
                 elif bi == "df":
                     Lk = _df_tri_inv(Ls, s)
                 else:
@@ -1246,8 +1315,19 @@ class NDFactorizer:
                         eye[None] * jnp.ones((n_b, 1, 1), dtype),
                         lower=True,
                     )
+                if wide:
+                    Lk = self._replicate(Lk)
                 Lk = pin(qf(Lk))
-                Lsb = pin(qf(mm(Lk, fronts[:, :s, s:])))
+                if wide:
+                    Lsb = self._replicate(
+                        qf(
+                            pinr(
+                                mm(pinr(Lk, 1), fronts[:, :s, s:]), 1
+                            )
+                        )
+                    )
+                else:
+                    Lsb = pin(qf(mm(Lk, fronts[:, :s, s:])))
             else:
                 Lk = Ls
                 Lsb = pin(
@@ -1268,9 +1348,16 @@ class NDFactorizer:
             else:
                 out.append((Lk, Lsb))
             if sym.b_pad[d]:
-                schur = qf(
-                    fronts[:, s:, s:] - mm(jnp.swapaxes(Lsb, -1, -2), Lsb)
-                )
+                if wide:
+                    upd = pinr(
+                        mm(pinr(jnp.swapaxes(Lsb, -1, -2), 1), Lsb), 1
+                    )
+                    schur = self._replicate(qf(fronts[:, s:, s:] - upd))
+                else:
+                    schur = qf(
+                        fronts[:, s:, s:]
+                        - mm(jnp.swapaxes(Lsb, -1, -2), Lsb)
+                    )
                 schur = pin(schur)
                 if sharded:
                     schur = self._replicate(schur)[:n_d]
