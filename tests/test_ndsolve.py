@@ -211,6 +211,32 @@ def test_df_base_kernels_factor_solve():
         assert Ls.dtype == jnp.float32
 
 
+def test_df_engine_end_to_end():
+    """MGB_ND_CHEAP=df through the fused gate (the accelerator default
+    engine) must land on the exact objective at forced-ND L=4 — path
+    honesty is structural (certified PCG on the exact Hessian), so any
+    drift here means the gate broke.  Also regression-pins the
+    const-hoisting fastpath bug (round 5): the df kernels' fori bodies
+    must not create hoisted trace constants, or the SECOND execution of
+    the fused program dies with a buffer-count mismatch."""
+    import os
+
+    prev = {k: os.environ.get(k) for k in ("MGB_ND_F32PC", "MGB_ND_CHEAP")}
+    try:
+        os.environ["MGB_ND_F32PC"] = "1"
+        os.environ["MGB_ND_CHEAP"] = "df"
+        b = Backend(dtype=jnp.float64, dense_threshold=120)
+        sol = mgb.amgb(mgb.fem2d(L=4, backend=b), p=1.0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    c = float(sol.SOL_main.c_dot_Dz[-1])
+    assert abs(c - 50.618082533590) < 5e-7 * 50.618, c
+
+
 def test_real_newton_matrix_parity():
     """ndsolve and scipy agree on a real fem2d Newton matrix assembled
     from the SAME device vals array (HostPattern layout)."""
