@@ -24,8 +24,10 @@ cubic flop runs at MXU bf16 rate.
 
 Cost model: P(P+1)/2 = 36 bf16 passes + O(P^2) f64 elementwise combine.
 Worth it exactly when emulated-f64 matmul is >> 36x slower than bf16 —
-measured by tools/probe_nd_tpu_cost.py; wired into the ND factor behind
-MGB_ND_MM=ozaki (see solver/ndsolve.py NDFactorizer).
+measured by tools/probe_nd_tpu_cost.py.  RETIRED from the ND factor in
+round 5 (root-fronts-only config measured 583 vs 608ms at fem2d L=7 on
+the v5e — matmuls are latency-bound there; the pair-f32 base-kernel
+engine supersedes it); kept as the documented negative result.
 """
 
 from __future__ import annotations

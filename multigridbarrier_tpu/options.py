@@ -107,8 +107,6 @@ KNOBS = {
         "2 on CPU)"),
     "MGB_ND_PCG32": Knob("kernel", "0",
         "run the polish sweeps in f32"),
-    "MGB_ND_MM_SLICES": Knob("kernel", "8",
-        "Ozaki-scheme slice count (only with MGB_ND_MM=ozaki)"),
     # -- f32-preconditioned certified directions (accelerator default) ---
     "MGB_ND_F32PC": Knob("kernel", None,
         "1 = equilibrated+shifted f32 multifrontal factor preconditions "
@@ -289,16 +287,14 @@ KNOBS = {
     "MGB_NO_NATIVE": Knob("kernel", "0",
         "disable the C++ geometry kernels (pure-NumPy fallback)"),
     # -- measured-REJECTED machinery (negative-result reproducibility) ---
-    "MGB_ND_MM": Knob("experimental", "native",
-        "matmul engine; ozaki = bf16-slice f64 emulation "
-        "(experimental/ozmm.py).  The all-groups form OOMs the remote "
-        "compile helper at L=7; pair with MGB_ND_MM_MINF (round-4 "
-        "probe: standalone root-shape ozaki compiles, rel err 1.1e-15)"),
-    "MGB_ND_MM_MINF": Knob("experimental", "0",
-        "minimum dense-front width (DOFs) for the ozaki engine; "
-        "smaller groups keep the native dot.  Bounds the unrolled "
-        "program size (compile-helper OOM) and skips latency-bound "
-        "small panels where 36 bf16 passes lose"),
+    # The ozaki factor-matmul knobs (ND_MM / ND_MM_MINF / ND_MM_SLICES
+    # matmuls) were RETIRED in round 5: the only compilable form
+    # (root-fronts-only via MINF=512) measured 583ms vs 608ms xla at
+    # fem2d L=7 on the v5e — 4.1%, below the keep threshold, because
+    # factor matmuls are latency-bound (1-2ms in every dtype) and the
+    # cost lives in the base-block ops (see MGB_ND_BASE=df, 186ms).
+    # experimental/ozmm.py + tests/test_ozmm.py remain as the
+    # documented negative result.
     "MGB_ND_F32_TMAX": Knob("experimental", "0",
         "direct-f32 factorization below this t — REJECTED: leaf "
         "separators are f32-singular even at t=1e3; kept as the "

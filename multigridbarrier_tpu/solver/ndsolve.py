@@ -787,20 +787,17 @@ class NDFactorizer:
         # fuse the Schur gather into the scatter instead of
         # materializing the concat buffer)
         self.split_sum = os.environ.get("MGB_ND_SPLITSUM", "0") == "1"
-        # f64 matmul engine for the factor's cubic work: 'native' = XLA
-        # dot (software-emulated f64 on TPU), 'ozaki' = error-free-split
-        # bf16 MXU passes at full f64-rounding quality (experimental/ozmm.py).
-        # MGB_ND_MM_SLICES trades retained bits for passes: 8 -> 57 bits
-        # over 36 passes (default), 6 -> 41 bits over 21 passes — still
-        # far beyond the f32 floor that broke MGB_ND_F32_TMAX.
-        self.mm_mode = os.environ.get("MGB_ND_MM", "native")
-        self.mm_slices = int(os.environ.get("MGB_ND_MM_SLICES", "8"))
-        # minimum front width (DOFs) for the ozaki engine; groups with
-        # smaller fronts keep the native dot (see factor(): the fully-
-        # unrolled ozaki program OOMs the remote compile helper, and
-        # small batched panels are latency-bound where 36 bf16 passes
-        # lose anyway).  0 = every group.
-        self.mm_minf = int(os.environ.get("MGB_ND_MM_MINF", "0"))
+        # The ozaki (error-free bf16-split) factor matmul engine was
+        # RETIRED in round 5 after its one measurable configuration —
+        # ozaki matmuls restricted to root fronts (the old ND_MM /
+        # ND_MM_MINF knobs) — moved the v5e L=7 factor only 608 -> 583ms (4.1%, below the
+        # keep threshold): the factor's cost is base-block emulation and
+        # per-op latency, not matmul flops (the matmuls are 1-2ms
+        # latency-bound at every dtype, tools/probe_df32_cost.py), so a
+        # 36-pass matmul engine has nothing to accelerate.  The pair-f32
+        # base-kernel engine (MGB_ND_BASE=df, 186ms) supersedes it.
+        # experimental/ozmm.py and its tests remain as the documented
+        # negative result.
         # extend-add structure: 'fanin' = flat Schur buffer + one
         # combined segment_sum per group (deepest-owner targets);
         # 'relay' = classic multifrontal relay through the parent as
@@ -1075,29 +1072,6 @@ class NDFactorizer:
         Newton progress."""
         sym = self.sym
         nf = sym.nf
-        if self.mm_mode == "ozaki" and dtype == jnp.float64:
-            from ..experimental import ozmm
-
-            ns = self.mm_slices
-            mm_oz = lambda a, b: ozmm.matmul(a, b, nslice=ns)
-
-            # MGB_ND_MM_MINF: apply ozaki only to groups whose dense
-            # front is at least this many DOFs wide (0 = everywhere).
-            # The fully-ozaki factor program SIGKILLs the axon remote
-            # compile helper (compile-side OOM) at fem2d L=7, while a
-            # standalone ozaki matmul at the root-front shape compiles
-            # in 25s with rel err 1.1e-15 (tools/probe_ozmm_compile.py)
-            # — the blowup is cumulative unrolled-op count, not the
-            # construct.  Restricting ozaki to the few top groups keeps
-            # the program compilable and targets the cubically-dominant
-            # fronts where MXU passes can actually beat emulated f64.
-            def _mm_for(F_dofs):
-                if F_dofs >= max(1, self.mm_minf):
-                    return mm_oz
-                return _mm_native
-        else:
-            def _mm_for(F_dofs):
-                return _mm_native
         vflat = vals.astype(dtype)  # flat (f1*nf+f2)*nuniq + pid layout
         Fn = [sym.s_pad[d] + sym.b_pad[d] for d in range(sym.ngroups)]
         relay = self.ea_mode == "relay"
@@ -1112,7 +1086,7 @@ class NDFactorizer:
             n_d = len(sym.by_depth[d])
             F = Fn[d] * nf
             s = sym.s_pad[d] * nf
-            mm = _mm_for(F)
+            mm = _mm_native
             # factor-precision simulator: truncate this group's stage
             # outputs (and every mm product) to qbits mantissa bits
             bi = (

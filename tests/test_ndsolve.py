@@ -125,45 +125,6 @@ def test_factor_solve_exact_on_grid(nf, pad, leaf, use_inv, splitsum, G, ea):
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-12
 
 
-def test_ozaki_minf_mixed_factor_matches_native():
-    """MGB_ND_MM=ozaki + a mid-range MGB_ND_MM_MINF runs a MIXED factor
-    (ozaki matmuls on wide fronts, native dot on the rest) — the solve
-    must match the native-f64 factor to ~1e-12 (advisor round-4: the
-    gate had CPU exactness pinned only ad hoc in a commit message)."""
-    import os
-
-    idx, coords, vals, Ad = _grid_problem(12, 2, True)
-    sym = NDSymbolic(idx, coords.shape[0], 2, coords, leaf=4)
-    F_dofs = [(sym.s_pad[d] + sym.b_pad[d]) * sym.nf
-              for d in range(sym.ngroups)]
-    # pick minf between the extremes so the split is genuinely mixed
-    minf = (min(F_dofs) + max(F_dofs)) // 2
-    assert any(F >= minf for F in F_dofs) and any(F < minf for F in F_dofs)
-    prev = {k: os.environ.get(k) for k in ("MGB_ND_MM", "MGB_ND_MM_MINF")}
-    try:
-        os.environ["MGB_ND_MM"] = "ozaki"
-        os.environ["MGB_ND_MM_MINF"] = str(minf)
-        fz = NDFactorizer(sym, use_inv=True)
-        # route the panel matmuls through mm too (CPU defaults pick the
-        # xla kernels, which would bypass the engine inside chol/inv)
-        fz.chol = "blocked"
-        fz.tri_inv = "blocked"
-        fz.panel = 8
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-    cst = fz.consts()
-    fac = fz.factor(jnp.asarray(vals), cst)
-    rng = np.random.default_rng(5)
-    b = rng.standard_normal(Ad.shape[0])
-    x = np.asarray(fz.solve(fac, jnp.asarray(b), cst))
-    x_ref = np.linalg.solve(Ad, b)
-    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-12
-
-
 def test_df_base_kernels_factor_solve():
     """MGB_ND_BASE=df routes the f64 factor's base-block Cholesky and
     triangular inverse through pair-f32 double-float kernels (~2^-44).
