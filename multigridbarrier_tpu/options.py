@@ -87,7 +87,12 @@ KNOBS = {
         "wider panels cut sequential stages — A/B 64/128 on TPU"),
     "MGB_ND_INV": Knob("kernel", None,
         "1 = apply factors via explicit inverse (batched MXU matmuls, "
-        "accelerator default); 0 = substitution (CPU default)"),
+        "accelerator default); 0 = substitution (CPU default).  "
+        "Substitution on the accelerator is a measured NEGATIVE for "
+        "the L=8 accuracy gap: the round-5 MGB_ND_INV=0 v5e run froze "
+        "at the same endgame objective as the inverse path (both "
+        "~5.6e-5 rel above CPU truth) — the wall is v5e software-f64 "
+        "factor precision at t>=1e6, not the application mode"),
     "MGB_ND_RELAY_COLS": Knob("kernel", "gather",
         "relay column selection: gather | onehot"),
     "MGB_ND_SPLITSUM": Knob("kernel", None,

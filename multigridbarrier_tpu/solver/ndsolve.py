@@ -762,6 +762,21 @@ class NDFactorizer:
             if env is not None:
                 use_inv = env == "1"
             else:
+                # Accelerator default stays explicit-inverse at EVERY
+                # scale: the round-5 MGB_ND_INV=0 TPU run at fem2d L=8
+                # froze at the same endgame objective as the inverse
+                # path (6.3967818 vs 6.3967519, both ~5.6e-5 rel above
+                # the CPU truth 6.3963937825, artifacts/
+                # BENCH_L8_tpu_r5_inv0.json) — the L=8 accuracy gap is
+                # NOT the inverse-application floor; both application
+                # modes hit the same v5e software-f64 factor-kernel
+                # precision wall at t >= 1e6 (consistent with the qbits
+                # probe: q48-quality factors fail at t >= 1e6 even at
+                # L=6).  Substitution costs ~3x per solve (57 vs 175ms
+                # at L=7, round-4 r4inv sweep) and buys nothing, so the
+                # inverse stays.  The identified fix for the remaining
+                # L=8 gap is true-IEEE-f64 directions for the last
+                # endgame stages (host splu via solver/hostsolve.py).
                 use_inv = jax.default_backend() != "cpu"
         self.use_inv = bool(use_inv)
         # Explicit-inverse construction: 'xla' = solve_triangular vs

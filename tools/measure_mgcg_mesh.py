@@ -33,7 +33,11 @@ def main():
     from multigridbarrier_tpu.backend import Backend, make_mesh
 
     mesh = make_mesh(ndev) if ndev > 1 else None
-    be = Backend(dtype=jnp.float64, mesh=mesh)
+    # L=5's fine level (nf*m = 1922) routes DENSE at the default
+    # threshold 2048 (the round-2 "dense_threshold trap") — measuring
+    # mgcg there needs a lowered threshold; L>=6 engages it by default.
+    thresh = int(os.environ.get("DBG_THRESH", "2048"))
+    be = Backend(dtype=jnp.float64, mesh=mesh, dense_threshold=thresh)
     g = mgb.fem2d(L=L, backend=be)
     t0 = time.perf_counter()
     sol = mgb.amgb(g, p=1.0, logfile=sys.stderr)
