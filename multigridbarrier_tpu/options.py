@@ -85,6 +85,15 @@ KNOBS = {
         "the v5e f64 factor is op-count bound (~1ms/kernel floor, 457 "
         "GF/s chained f64 matmuls make panel flops nearly free), so "
         "wider panels cut sequential stages — A/B 64/128 on TPU"),
+    "MGB_HOST_TMIN": Knob("kernel", "0",
+        "barrier parameter t at which ND-routed fine levels hand the "
+        "direction solve to the host SuperLU engine (true IEEE f64; "
+        "0 = never).  Built for the L=8 TPU endgame where the v5e "
+        "software-f64 factor kernels freeze the path ~5.6e-5 rel "
+        "shallow from t>=1e6 (both application modes, round-5); "
+        "candidate setting 1e6 pays host factors only for the last "
+        "~30-40 its.  CPU-validated exact at L=6; TPU wall-clock "
+        "measurement pending"),
     "MGB_ND_INV": Knob("kernel", None,
         "1 = apply factors via explicit inverse (batched MXU matmuls, "
         "accelerator default); 0 = substitution (CPU default).  "

@@ -2714,6 +2714,23 @@ class _SolverCtx:
         (z, its, stop_code, traces) with one host sync per chunk.  Fine
         levels route to the host sparse direct solver (_run_level_host)."""
         if self._nd_enabled(level):
+            # Endgame handoff to the host direct solver (MGB_HOST_TMIN,
+            # default off): for t >= tmin the Newton direction comes from
+            # host SuperLU (true IEEE f64 + iterative refinement,
+            # solver/hostsolve.py) instead of the on-device ND factor.
+            # Motivation (round-5 L=8 measurement, artifacts/
+            # BENCH_L8_tpu_r5_inv0.json): the v5e's software-f64 factor
+            # kernels hit a precision wall at t >= 1e6 at L=8 scale —
+            # the path freezes ~5.6e-5 rel above the CPU truth with BOTH
+            # factor application modes, while the CPU's LAPACK/SuperLU
+            # f64 descends to 6.3963937825.  Only the last ~2-3 stages
+            # (~30-40 its) pay host factor costs; every earlier stage
+            # keeps the on-device engines.  CPU-validated: L=6 with
+            # tmin=1e6 lands on the exact objective (the host and ND
+            # directions are interchangeable where both are accurate).
+            tmin = float(os.environ.get("MGB_HOST_TMIN", "0") or 0.0)
+            if tmin > 0.0 and float(t) >= tmin:
+                return self._run_level_host(level, z, t, theta2)
             return self._run_level_nd(level, z, t, theta2)
         if self._host_enabled(level):
             return self._run_level_host(level, z, t, theta2)
