@@ -447,3 +447,26 @@ def test_pipelined_fused_gate_matches_sync():
     # variation (~2e-6 relative across platforms), not to 1e-9 — the
     # 1e-12 measured here is one BLAS build's luck, not a contract.
     assert abs(c1 - c0) < 1e-5 * abs(c0), (c1, c0)
+
+
+def test_end_to_end_host_tmin_handoff():
+    """MGB_HOST_TMIN endgame handoff: an ND-routed fine level hands the
+    direction solve to the host SuperLU engine for t >= tmin and the
+    trajectory must still land on the exact objective (the handoff was
+    built for the v5e software-f64 endgame wall at L=8, round-5;
+    artifacts/BENCH_L8_tpu_r5_inv0.json).  Forced-ND L=4 with the
+    handoff from t=1e4 exercises both engines inside one path."""
+    import os
+
+    b = Backend(dtype=jnp.float64, dense_threshold=120)
+    prev = os.environ.get("MGB_HOST_TMIN")
+    try:
+        os.environ["MGB_HOST_TMIN"] = "1e4"
+        sol = mgb.amgb(mgb.fem2d(L=4, backend=b), p=1.0)
+    finally:
+        if prev is None:
+            os.environ.pop("MGB_HOST_TMIN", None)
+        else:
+            os.environ["MGB_HOST_TMIN"] = prev
+    c = float(sol.SOL_main.c_dot_Dz[-1])
+    assert abs(c - 50.618082533590) < 5e-7 * 50.618, c
